@@ -1,0 +1,11 @@
+from . import config, geometry, scan
+from .config import (CoreSlamConfig, HectorConfig, ParticleConfig,
+                     PoseGraphConfig, SimConfig, SlamConfig)
+from .scan import Scan, SegmentScan, polar_scan, segments_to_cloud
+
+__all__ = [
+    "config", "geometry", "scan",
+    "CoreSlamConfig", "HectorConfig", "ParticleConfig", "PoseGraphConfig",
+    "SimConfig", "SlamConfig", "Scan", "SegmentScan", "polar_scan",
+    "segments_to_cloud",
+]

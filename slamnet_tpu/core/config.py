@@ -1,0 +1,162 @@
+"""Frozen config dataclasses — the framework's entire knob inventory.
+
+The reference's "config system" is constructor arguments + mutable properties
+(SURVEY.md §5.6; README.md:68).  Here every knob is a field on a frozen dataclass,
+static at jit-trace time; defaults are the reference's golden values with the
+citation on each field.  ``overlay`` applies dict/JSON overrides for CLI use.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+def _replace_nested(cfg, updates: dict):
+    kw = {}
+    for k, v in updates.items():
+        cur = getattr(cfg, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            kw[k] = _replace_nested(cur, v)
+        else:
+            kw[k] = v
+    return dataclasses.replace(cfg, **kw)
+
+
+class _Overlayable:
+    def overlay(self, updates: dict | str):
+        """Return a copy with (possibly nested) overrides applied; str = JSON."""
+        if isinstance(updates, str):
+            updates = json.loads(updates)
+        return _replace_nested(self, updates)
+
+
+@dataclass(frozen=True)
+class CoreSlamConfig(_Overlayable):
+    """CoreSLAM knobs (CoreSLAMProcessor.cs:80-162; sim values MainWindow.xaml.cs:69-72)."""
+
+    physical_map_size: float = 40.0     # meters (sim ctor arg)
+    hole_map_size: int = 256            # pixels (sim ctor arg)
+    obstacle_map_size: int = 64         # pixels (sim ctor arg)
+    sigma_xy: float = 0.1               # meters (sim ctor arg)
+    sigma_theta: float = math.pi / 18   # 10 deg in radians (sim ctor arg)
+    # Reference: iterationsPerThread=1000 x numSearchThreads=4 => 4000 perturbed
+    # candidates + the search pose itself per scan (CoreSLAMProcessor.cs:624-653,
+    # 674-710).  TPU-native: one batch of `num_candidates` scored in a fused kernel;
+    # 4096 keeps the reference's search budget and pads to a lane-friendly size.
+    num_candidates: int = 4096
+    quality: int = 50                   # map-update alpha 1..255 (:80)
+    hole_width: float = 2.0             # meters (sim sets 2.0, default 0.6) (:85)
+    position_search_beginning: int = 5  # first N scans trust odometry (:90)
+    unmapped_obstacle_hits: int = -5    # obstacle map init (:96)
+    max_obstacle_hits: int = 10         # obstacle hit cap (:101)
+
+    @property
+    def hole_scale(self) -> float:
+        """Pixels per meter (HoleMap.cs:19)."""
+        return self.hole_map_size / self.physical_map_size
+
+    @property
+    def obstacle_scale(self) -> float:
+        return self.obstacle_map_size / self.physical_map_size
+
+
+@dataclass(frozen=True)
+class HectorConfig(_Overlayable):
+    """HectorSLAM knobs (HectorSLAMProcessor.cs:51-77, OccGridMap.cs:24-53,
+    sim values MainWindow.xaml.cs:76-86)."""
+
+    map_resolution: float = 0.1         # meters/pixel at level 0 (sim: 40/400)
+    map_size: int = 400                 # pixels at level 0
+    num_levels: int = 4                 # pyramid depth (sim ctor arg)
+    # Per-level Gauss-Newton iterations, finest first (sim: 7/4/4/4,
+    # MainWindow.xaml.cs:83-86; default 3 per OccGridMap.cs:53).
+    estimate_iterations: Tuple[int, ...] = (7, 4, 4, 4)
+    update_factor_free: float = 0.4     # odds (OccGridMap.cs:25)
+    update_factor_occupied: float = 0.9  # odds (OccGridMap.cs:24)
+    min_distance_diff_for_map_update: float = 0.4   # meters (sim; default 0.3)
+    min_angle_diff_for_map_update: float = math.pi / 22.5  # 8 deg (sim; default 0.13)
+    angle_gate_compat: bool = False
+    # False (default): gate on |rad_diff| as the reference *intended*.
+    # True: reproduce the reference bug — MathEx.DegDiff (a degrees function) applied
+    # to radian poses and compared SIGNED to the radian threshold
+    # (HectorSLAMProcessor.cs:108; documented in SURVEY.md §2.3).
+    occupied_cap: float = 50.0          # log-odds cap (OccGridMap.cs:211)
+    deriv_clamp: float = 0.2            # GN rotation step clamp, rad (ScanMatcher.cs:107-117)
+    offset: Tuple[float, float] = (0.0, 0.0)  # map offset (MapRepMultiMap passes zero)
+
+    @property
+    def level_sizes(self) -> Tuple[int, ...]:
+        """Per-level pixel dims: next level halves pixels (MapRepMultiMap.cs:49-57)."""
+        out, s = [], self.map_size
+        for _ in range(self.num_levels):
+            out.append(s)
+            s //= 2
+        return tuple(out)
+
+    @property
+    def level_resolutions(self) -> Tuple[float, ...]:
+        out, r = [], self.map_resolution
+        for _ in range(self.num_levels):
+            out.append(r)
+            r *= 2.0
+        return tuple(out)
+
+    @property
+    def log_odds_free(self) -> float:
+        p = self.update_factor_free
+        return math.log(p / (1.0 - p))
+
+    @property
+    def log_odds_occupied(self) -> float:
+        p = self.update_factor_occupied
+        return math.log(p / (1.0 - p))
+
+
+@dataclass(frozen=True)
+class SimConfig(_Overlayable):
+    """Simulator constants (MainWindow.xaml.cs:35-39, Field.cs:43-72)."""
+
+    num_scan_points: int = 400
+    scans_per_second: float = 17.0
+    max_scan_dist: float = 40.0         # meters
+    measure_error: float = 0.02         # +/- uniform noise, meters
+    field_scale: float = 30.0           # CreateDefaultField(30, (5,5)) (MainWindow:97)
+    field_offset: Tuple[float, float] = (5.0, 5.0)
+    start_pose: Tuple[float, float, float] = (20.0, 20.0, 0.0)  # MainWindow:65
+
+
+@dataclass(frozen=True)
+class ParticleConfig(_Overlayable):
+    """Batched particle layer (BASELINE.json config 4; TPU-only design)."""
+
+    num_particles: int = 8192
+    top_k: int = 64                     # refine budget after coarse scoring
+    refine_candidates: int = 64         # per-survivor local perturbations
+    resample_ess_frac: float = 0.5      # resample when ESS < frac * N
+
+
+@dataclass(frozen=True)
+class PoseGraphConfig(_Overlayable):
+    """Keyframe pose-graph layer (greenfield; BASELINE.json north star)."""
+
+    max_keyframes: int = 256
+    max_edges: int = 1024
+    keyframe_dist: float = 0.5          # meters between keyframes
+    keyframe_angle: float = 0.35        # radians between keyframes
+    loop_closure_radius: float = 2.0    # candidate search radius, meters
+    gn_iterations: int = 10
+    damping: float = 1e-6
+
+
+@dataclass(frozen=True)
+class SlamConfig(_Overlayable):
+    """Top-level bundle: both pipelines + sim + aux layers."""
+
+    coreslam: CoreSlamConfig = field(default_factory=CoreSlamConfig)
+    hector: HectorConfig = field(default_factory=HectorConfig)
+    sim: SimConfig = field(default_factory=SimConfig)
+    particle: ParticleConfig = field(default_factory=ParticleConfig)
+    graph: PoseGraphConfig = field(default_factory=PoseGraphConfig)

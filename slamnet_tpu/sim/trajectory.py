@@ -1,0 +1,79 @@
+"""Scripted ground-truth trajectories through the default field.
+
+The reference's "trajectory generator" is the user's mouse (MainWindow.xaml.cs:414-465).
+For a headless, deterministic test oracle we script waypoint paths through the free
+space of the default field, rate-limited to HectorSLAM's documented operating envelope
+(README.md:35-40: linear < coarsest-level pixel size per scan, angular ~< 20 deg/scan).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# Waypoints in world meters, inside the free space of default_field(30, (5,5)).
+# The field spans [5,35]x[5,35] with an inner obstacle around x in [11,17], y in [14,26].
+LOOP_WAYPOINTS = np.array(
+    [
+        [20.0, 20.0], [26.0, 20.0], [28.0, 14.0], [26.0, 9.0],
+        [18.0, 8.0], [10.0, 10.0], [8.5, 18.0], [9.0, 26.0],
+        [16.0, 31.0], [24.0, 31.0], [28.0, 26.0], [22.0, 22.0],
+        [20.0, 20.0],
+    ],
+    dtype=np.float32,
+)
+
+
+def waypoint_trajectory(waypoints: np.ndarray, speed: float, scan_rate: float,
+                        max_turn_rate: float = math.radians(60.0)) -> np.ndarray:
+    """Constant-speed waypoint follower sampled at scan_rate Hz -> poses f32[T, 3].
+
+    Heading turns toward the path direction at <= max_turn_rate rad/s (keeps the
+    angular rate inside Hector's ~20 deg/scan envelope at 17 Hz).
+    """
+    dt = 1.0 / scan_rate
+    poses = []
+    pos = waypoints[0].astype(np.float64)
+    heading = 0.0
+    for wp in waypoints[1:]:
+        while True:
+            delta = wp - pos
+            dist = float(np.hypot(*delta))
+            if dist < speed * dt:
+                break
+            target_heading = math.atan2(delta[1], delta[0])
+            dh = (target_heading - heading + math.pi) % (2 * math.pi) - math.pi
+            max_dh = max_turn_rate * dt
+            heading += float(np.clip(dh, -max_dh, max_dh))
+            pos = pos + np.array([math.cos(heading), math.sin(heading)]) * speed * dt
+            poses.append([pos[0], pos[1], heading])
+    return np.asarray(poses, np.float32)
+
+
+def loop_trajectory(speed: float = 0.3, scan_rate: float = 17.0) -> np.ndarray:
+    """The standard test loop: ~170 m around the field at 0.3 m/s (inside envelope)."""
+    return waypoint_trajectory(LOOP_WAYPOINTS, speed, scan_rate)
+
+
+def stationary_trajectory(pose=(20.0, 20.0, 0.0), num_scans: int = 50) -> np.ndarray:
+    return np.tile(np.asarray(pose, np.float32), (num_scans, 1))
+
+
+def straight_trajectory(start=(20.0, 20.0, 0.0), speed: float = 0.25,
+                        scan_rate: float = 17.0, num_scans: int = 200) -> np.ndarray:
+    """Straight line along the start heading."""
+    start = np.asarray(start, np.float64)
+    t = np.arange(num_scans) / scan_rate
+    x = start[0] + speed * t * math.cos(start[2])
+    y = start[1] + speed * t * math.sin(start[2])
+    return np.stack([x, y, np.full_like(x, start[2])], axis=-1).astype(np.float32)
+
+
+def spin_trajectory(pose=(20.0, 20.0, 0.0), turn_rate: float = math.radians(40.0),
+                    scan_rate: float = 17.0, num_scans: int = 150) -> np.ndarray:
+    """Rotate in place at turn_rate rad/s (inside the ~20 deg/scan envelope)."""
+    pose = np.asarray(pose, np.float64)
+    t = np.arange(num_scans) / scan_rate
+    th = pose[2] + turn_rate * t
+    return np.stack([np.full_like(th, pose[0]), np.full_like(th, pose[1]), th],
+                    axis=-1).astype(np.float32)

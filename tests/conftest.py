@@ -1,0 +1,25 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip code paths (parallel/, graph/) are exercised on CPU via
+``xla_force_host_platform_device_count`` per SURVEY.md §4 — no TPUs needed in CI.
+
+Note: this environment's sitecustomize forces ``JAX_PLATFORMS=axon`` (a tunneled
+TPU backend) before any test code runs, so the env var alone is not enough —
+``jax.config.update`` after import is authoritative.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu", (
+        "tests must run on CPU; got %s" % jax.devices())
