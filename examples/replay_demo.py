@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Trajectory-replay demo: simulator -> SLAM pipelines -> ATE report.
+
+The headless equivalent of the reference's Simulation app (MainWindow.xaml.cs):
+drives scripted trajectories through the default field, feeds noisy lidar
+revolutions to the pipelines, and reports pose error against ground truth —
+the divergence oracle (MainWindow.xaml.cs:182-196) as a CLI.
+
+Usage:
+  python examples/replay_demo.py --scans 200 --platform cpu --pipeline coreslam
+  python examples/replay_demo.py --pipeline hector          # once hector lands
+"""
+import argparse
+import math
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scans", type=int, default=200)
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu")
+    ap.add_argument("--pipeline", choices=["coreslam", "hector", "both"],
+                    default="coreslam")
+    ap.add_argument("--trajectory", choices=["loop", "stationary", "spin"],
+                    default="loop")
+    ap.add_argument("--speed", type=float, default=0.3)
+    ap.add_argument("--candidates", type=int, default=2048)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slamnet_tpu.core import CoreSlamConfig, HectorConfig, SimConfig
+    from slamnet_tpu.core.scan import Scan
+    from slamnet_tpu.models import coreslam
+    from slamnet_tpu.sim import default_field, lidar
+    from slamnet_tpu.sim import trajectory as trj
+
+    sim = SimConfig()
+    fld = default_field()
+    angles = jnp.asarray(lidar.revolution_angles(sim.num_scan_points))
+
+    traj = {
+        "loop": lambda: trj.loop_trajectory(speed=args.speed),
+        "stationary": lambda: trj.stationary_trajectory(num_scans=args.scans),
+        "spin": lambda: trj.spin_trajectory(num_scans=args.scans),
+    }[args.trajectory]()[: args.scans]
+    print(f"trajectory: {args.trajectory}, {traj.shape[0]} scans @ {sim.scans_per_second} Hz")
+
+    key = jax.random.PRNGKey(args.seed)
+    results = {}
+
+    if args.pipeline in ("coreslam", "both"):
+        cfg = CoreSlamConfig(num_candidates=args.candidates)
+        state = coreslam.init(cfg, traj[0], key=jax.random.PRNGKey(args.seed + 1))
+
+        @jax.jit
+        def cs_step(state, real_pose, key):
+            radii, valid = lidar.scan_revolution(
+                fld, real_pose, angles, sim.max_scan_dist, sim.measure_error, key)
+            pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
+            cloud = Scan(pts, valid, jnp.zeros(3, jnp.float32))
+            return coreslam.update_cloud(state, cloud, state.pose, cfg)
+
+        errs = []
+        t0 = time.time()
+        for t in range(traj.shape[0]):
+            key, sub = jax.random.split(key)
+            state, info = cs_step(state, jnp.asarray(traj[t]), sub)
+            errs.append(np.asarray(state.pose) - traj[t])
+        jax.block_until_ready(state)
+        dt = time.time() - t0
+        errs = np.asarray(errs)
+        pos = np.linalg.norm(errs[:, :2], axis=1)
+        results["coreslam"] = dict(
+            ate=float(np.sqrt((pos ** 2).mean())), max_err=float(pos.max()),
+            max_ang_deg=float(np.degrees(np.abs(errs[:, 2])).max()),
+            scans_per_sec=traj.shape[0] / dt)
+
+    if args.pipeline in ("hector", "both"):
+        try:
+            from slamnet_tpu.models import hector
+        except ImportError:
+            print("hector pipeline not yet available", file=sys.stderr)
+            sys.exit(2)
+        hcfg = HectorConfig()
+        hstate = hector.init(hcfg, traj[0])
+
+        @jax.jit
+        def h_step(state, real_pose, key, bootstrap):
+            radii, valid = lidar.scan_revolution(
+                fld, real_pose, angles, sim.max_scan_dist, sim.measure_error, key)
+            pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
+            cloud = Scan(pts, valid, jnp.zeros(3, jnp.float32))
+            return hector.update(state, cloud, state.match_pose, hcfg,
+                                 map_without_matching=bootstrap)
+
+        errs = []
+        t0 = time.time()
+        for t in range(traj.shape[0]):
+            key, sub = jax.random.split(key)
+            hstate, hinfo = h_step(hstate, jnp.asarray(traj[t]), sub,
+                                   jnp.asarray(t < 10))
+            errs.append(np.asarray(hstate.match_pose) - traj[t])
+        jax.block_until_ready(hstate)
+        dt = time.time() - t0
+        errs = np.asarray(errs)
+        pos = np.linalg.norm(errs[:, :2], axis=1)
+        results["hector"] = dict(
+            ate=float(np.sqrt((pos ** 2).mean())), max_err=float(pos.max()),
+            max_ang_deg=float(np.degrees(np.abs(errs[:, 2])).max()),
+            scans_per_sec=traj.shape[0] / dt)
+
+    ok = True
+    for name, r in results.items():
+        status = "OK" if (r["max_err"] < 1.0 and r["max_ang_deg"] < 10.0) else "DIVERGED"
+        ok &= status == "OK"
+        print(f"{name}: ATE={r['ate']:.3f} m  max_err={r['max_err']:.3f} m  "
+              f"max_ang={r['max_ang_deg']:.2f} deg  rate={r['scans_per_sec']:.1f} scans/s  "
+              f"[{status}]")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Hole-map scan update — CoreSLAM's hot loop #2 as a conflict-free scatter.
+
+Reference: UpdateHoleMap + DrawLaserRayOnHoleMap (CoreSLAMProcessor.cs:496-534,
+359-443).  Each beam is alpha-blended along a Bresenham walk with a V-shaped value
+profile (free space at TS_NO_OBSTACLE ramping into the "hole" at the measured hit).
+
+TPU-native formulation: the walk + profile come from the exact closed forms in
+ops/rasterize (one dense [beams, steps] tensor), and the sequential per-pixel blend
+``p' = ((256-a)p + a*v) >> 8`` becomes a scatter with an analytically composed
+multi-visit blend:
+
+  - visits k and the visit-mean profile value v_bar per pixel via scatter-adds;
+  - ``p' = floor(beta^k * (p - v_bar) + v_bar)`` with beta = (256-alpha)/256.
+
+For pixels visited once (the vast majority: beams only overlap near the robot and
+in hole zones of adjacent beams) this is EXACTLY the reference's integer blend.
+For k-visit pixels with equal values (free space near the robot — all
+TS_NO_OBSTACLE) it is exact up to the dropped intermediate floors (< k quantization
+steps).  Where adjacent beams' profiles overlap with different values the
+reference's result depends on beam order; the mean-composed value lies between the
+order-dependent sequential outcomes — a documented, bounded divergence (see
+tests/test_coreslam_ops.py tolerance check).  A bit-exact sequential-equivalent
+mode is provided for parity testing.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.geometry import csharp_trunc
+from .rasterize import hole_ray_cells
+
+TS_NO_OBSTACLE = 65500
+TS_OBSTACLE = 0
+
+
+def update_hole_map(hole_map_flat: jnp.ndarray, size: int, scale: float,
+                    points: jnp.ndarray, valid: jnp.ndarray, pose: jnp.ndarray,
+                    hole_width: float, quality: int) -> jnp.ndarray:
+    """One scan's hole-map update at `pose`; returns the new i32[size*size] map.
+
+    Geometry per UpdateHoleMap (CoreSLAMProcessor.cs:498-533): +0.5 center bias,
+    C# truncation to the robot pixel, per-beam hit pixel, and the endpoint extended
+    past the hit by hole_width/2 along the beam.  If the robot pixel is outside the
+    map the whole update is skipped (:509-512).
+    """
+    px = pose[0] * scale + 0.5
+    py = pose[1] * scale + 0.5
+    c = jnp.cos(pose[2]) * scale
+    s = jnp.sin(pose[2]) * scale
+    x1 = csharp_trunc(px)
+    y1 = csharp_trunc(py)
+    robot_in = (x1 >= 0) & (x1 < size) & (y1 >= 0) & (y1 < size)
+    # clamp for safe indexing; the final `where` gate discards the clamped case
+    x1c = jnp.clip(x1, 0, size - 1)
+    y1c = jnp.clip(y1, 0, size - 1)
+
+    x2p = c * points[:, 0] - s * points[:, 1]
+    y2p = s * points[:, 0] + c * points[:, 1]
+    xp = csharp_trunc(px + x2p)
+    yp = csharp_trunc(py + y2p)
+    dist = jnp.sqrt(x2p * x2p + y2p * y2p)
+    beam_ok = valid & (dist > 1e-6)
+    add = hole_width * scale / 2.0 / jnp.maximum(dist, 1e-6)
+    x2 = csharp_trunc(px + x2p * (1.0 + add))
+    y2 = csharp_trunc(py + y2p * (1.0 + add))
+
+    rays = hole_ray_cells(x1c, y1c, x2, y2, xp, yp, TS_OBSTACLE, TS_NO_OBSTACLE,
+                          size, max_steps=size)
+    mask = rays.mask & beam_ok[:, None]
+    flat = jnp.where(mask, rays.flat, 0)
+
+    ncells = size * size
+    visits = jnp.zeros(ncells, jnp.int32).at[flat.reshape(-1)].add(
+        mask.reshape(-1).astype(jnp.int32))
+    pixv = jnp.where(mask, rays.pixval, 0)
+    vsum = jnp.zeros(ncells, jnp.int32).at[flat.reshape(-1)].add(
+        pixv.reshape(-1))
+    vbar = vsum.astype(jnp.float32) / jnp.maximum(visits, 1).astype(jnp.float32)
+
+    beta = (256.0 - quality) / 256.0
+    decay = jnp.power(beta, visits.astype(jnp.float32))
+    old = hole_map_flat.astype(jnp.float32)
+    blended = jnp.floor(decay * (old - vbar) + vbar).astype(jnp.int32)
+    new = jnp.where(visits > 0, blended, hole_map_flat)
+    return jnp.where(robot_in, new, hole_map_flat)
+
+
+def update_hole_map_sequential_blend(hole_map_flat, size, scale, points, valid,
+                                     pose, hole_width, quality):
+    """Bit-exact sequential-equivalent mode for parity testing: identical geometry,
+    but beams composited one at a time with the reference's integer blend via a
+    lax.scan over beams.  O(beams) sequential steps — test/oracle use only."""
+    import jax
+
+    px = pose[0] * scale + 0.5
+    py = pose[1] * scale + 0.5
+    c = jnp.cos(pose[2]) * scale
+    s = jnp.sin(pose[2]) * scale
+    x1 = csharp_trunc(px)
+    y1 = csharp_trunc(py)
+    robot_in = (x1 >= 0) & (x1 < size) & (y1 >= 0) & (y1 < size)
+    x1c = jnp.clip(x1, 0, size - 1)
+    y1c = jnp.clip(y1, 0, size - 1)
+
+    x2p = c * points[:, 0] - s * points[:, 1]
+    y2p = s * points[:, 0] + c * points[:, 1]
+    xp = csharp_trunc(px + x2p)
+    yp = csharp_trunc(py + y2p)
+    dist = jnp.sqrt(x2p * x2p + y2p * y2p)
+    beam_ok = valid & (dist > 1e-6)
+    add = hole_width * scale / 2.0 / jnp.maximum(dist, 1e-6)
+    x2 = csharp_trunc(px + x2p * (1.0 + add))
+    y2 = csharp_trunc(py + y2p * (1.0 + add))
+
+    rays = hole_ray_cells(x1c, y1c, x2, y2, xp, yp, TS_OBSTACLE, TS_NO_OBSTACLE,
+                          size, max_steps=size)
+    mask = rays.mask & beam_ok[:, None]
+
+    ncells = size * size
+
+    def blend_beam(pixels, inputs):
+        flat, pixval, m = inputs
+        safe = jnp.where(m, flat, 0)
+        old = jnp.take(pixels, safe)
+        newv = ((256 - quality) * old + quality * pixval) // 256
+        # masked lanes scatter out-of-bounds and are dropped; within one beam
+        # every visited cell is distinct => no duplicate writers
+        idx = jnp.where(m, flat, ncells)
+        return pixels.at[idx].set(newv, mode="drop"), None
+
+    out, _ = jax.lax.scan(blend_beam, hole_map_flat,
+                          (rays.flat, rays.pixval, mask))
+    return jnp.where(robot_in, out, hole_map_flat)
