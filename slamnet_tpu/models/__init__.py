@@ -1,3 +1,3 @@
-from . import coreslam
+from . import coreslam, hector
 
-__all__ = ["coreslam"]
+__all__ = ["coreslam", "hector"]

@@ -1,3 +1,4 @@
-from . import holemap, obstacle, rasterize, score
+from . import bilinear, gn, holemap, logodds, obstacle, rasterize, score
 
-__all__ = ["holemap", "obstacle", "rasterize", "score"]
+__all__ = ["bilinear", "gn", "holemap", "logodds", "obstacle", "rasterize",
+           "score"]

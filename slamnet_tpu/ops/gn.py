@@ -1,0 +1,87 @@
+"""Gauss-Newton scan matching pieces: Hessian accumulation + guarded 3x3 solve.
+
+Reference: ScanMatcher.GetCompleteHessianDerivs + EstimateTransformationLogLh
+(ScanMatcher.cs:93-204).  The reference chunks beams over a thread pool and sums
+partial (H, dTr) on the host; here the accumulation is one masked sum over the
+beam axis (vmap semantics, MXU/VPU friendly) — the same reduction the beam-sharded
+multi-chip path later psums over ICI (SURVEY.md §2.5 P3).
+
+The reference solves with a 4x4 inverse because .NET lacks 3x3 (README.md:33,
+ScanMatcher.cs:203 sets M44=1); here the 3x3 symmetric system is solved directly
+via the adjugate.  Guards reproduced: H00 != 0 && H11 != 0 (ScanMatcher.cs:97),
+non-invertible H skips the step (:99-103), and the rotation component of the step
+is clamped to +/-0.2 rad (:107-117).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from .bilinear import interp_value_and_gradients
+
+
+def hessian_derivs(logodds_flat: jnp.ndarray, width: int, points: jnp.ndarray,
+                   valid: jnp.ndarray, pose_px: jnp.ndarray,
+                   scale_to_map: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Accumulate (H f32[3,3], dTr f32[3]) at map-pixel pose `pose_px`.
+
+    points: f32[N,2] robot-local meters.  Transform per ScanMatcher.cs:139-146:
+    p_map = R(theta) * p * scale_to_map + (x_px, y_px); the rotation derivative
+    uses the raw metric point with sin/cos pre-scaled by scale_to_map.
+    """
+    theta = pose_px[2]
+    sin_r = jnp.sin(theta) * scale_to_map
+    cos_r = jnp.cos(theta) * scale_to_map
+
+    X, Y = points[:, 0], points[:, 1]
+    mx = cos_r * X - sin_r * Y + pose_px[0]
+    my = sin_r * X + cos_r * Y + pose_px[1]
+    coords = jnp.stack([mx, my], axis=1)
+
+    value, gx, gy = interp_value_and_gradients(logodds_flat, width, coords, valid)
+    fun = 1.0 - value
+    rot = (-sin_r * X - cos_r * Y) * gx + (cos_r * X - sin_r * Y) * gy
+
+    dtr = jnp.stack([jnp.sum(gx * fun), jnp.sum(gy * fun), jnp.sum(rot * fun)])
+    h00 = jnp.sum(gx * gx)
+    h11 = jnp.sum(gy * gy)
+    h22 = jnp.sum(rot * rot)
+    h01 = jnp.sum(gx * gy)
+    h02 = jnp.sum(gx * rot)
+    h12 = jnp.sum(gy * rot)
+    H = jnp.array([[h00, h01, h02], [h01, h11, h12], [h02, h12, h22]])
+    return H, dtr
+
+
+def solve_gn_step(H: jnp.ndarray, dtr: jnp.ndarray,
+                  deriv_clamp: float = 0.2) -> jnp.ndarray:
+    """Guarded symmetric 3x3 solve, rotation step clamped; zero step on failure."""
+    a, b, c = H[0, 0], H[0, 1], H[0, 2]
+    d, e = H[1, 1], H[1, 2]
+    f = H[2, 2]
+    # adjugate of the symmetric matrix [[a,b,c],[b,d,e],[c,e,f]]
+    A = d * f - e * e
+    B = c * e - b * f
+    C = b * e - c * d
+    D = a * f - c * c
+    E = b * c - a * e
+    F = a * d - b * b
+    det = a * A + b * B + c * C
+
+    ok = (a != 0.0) & (d != 0.0) & (det != 0.0) & jnp.isfinite(det)
+    inv_det = jnp.where(ok, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+    sx = (A * dtr[0] + B * dtr[1] + C * dtr[2]) * inv_det
+    sy = (B * dtr[0] + D * dtr[1] + E * dtr[2]) * inv_det
+    sz = (C * dtr[0] + E * dtr[1] + F * dtr[2]) * inv_det
+    sz = jnp.clip(sz, -deriv_clamp, deriv_clamp)
+    step = jnp.stack([sx, sy, sz])
+    return jnp.where(ok, step, jnp.zeros(3))
+
+
+def gn_iteration(logodds_flat, width, points, valid, pose_px, scale_to_map,
+                 deriv_clamp: float = 0.2):
+    """One EstimateTransformationLogLh step: pose_px += clamped H^-1 dTr."""
+    H, dtr = hessian_derivs(logodds_flat, width, points, valid, pose_px,
+                            scale_to_map)
+    return pose_px + solve_gn_step(H, dtr, deriv_clamp)
