@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark: HectorSLAM 3-level 400x400 scan matching throughput on one chip.
+
+The BASELINE.json headline config: full Hector pipeline (coarse-to-fine
+Gauss-Newton matching, 7/4/4 iterations, + motion-gated multi-level occupancy
+updates) replayed over a simulated loop trajectory entirely on device via
+lax.scan.  The reference sustains 17 scans/s real-time on a desktop CPU
+(MainWindow.xaml.cs:35-39); vs_baseline is measured against that.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "scans/s", "vs_baseline": N/17}
+plus accuracy fields so a throughput win can't silently trade away tracking.
+"""
+import json
+import sys
+import time
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from slamnet_tpu.core import HectorConfig, SimConfig
+    from slamnet_tpu.core.scan import Scan
+    from slamnet_tpu.models import hector
+    from slamnet_tpu.sim import default_field, lidar
+    from slamnet_tpu.sim.trajectory import loop_trajectory
+
+    cfg = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4))
+    sim = SimConfig()
+    n_scans = 512
+    bootstrap = 10
+
+    # --- scan-log generation on the host CPU backend (not part of the benchmark)
+    cpu = jax.devices("cpu")[0]
+    fld = default_field()
+    angles_np = lidar.revolution_angles(sim.num_scan_points)
+    traj = loop_trajectory(speed=0.3)[: n_scans + bootstrap]
+
+    with jax.default_device(cpu):
+        fld_c = jax.tree.map(lambda x: jax.device_put(x, cpu), fld)
+        angles_c = jax.device_put(jnp.asarray(angles_np), cpu)
+
+        @jax.jit
+        def genlog(poses, key):
+            keys = jax.random.split(key, poses.shape[0])
+            def one(p, k):
+                return lidar.scan_revolution(fld_c, p, angles_c,
+                                             sim.max_scan_dist,
+                                             sim.measure_error, k)
+            return jax.vmap(one)(poses, keys)
+
+        radii_c, valids_c = genlog(
+            jax.device_put(jnp.asarray(traj), cpu),
+            jax.device_put(jax.random.PRNGKey(0), cpu))
+
+    dev = jax.devices()[0]
+    radii = jax.device_put(np.asarray(radii_c), dev)
+    valids = jax.device_put(np.asarray(valids_c), dev)
+    angles = jax.device_put(jnp.asarray(angles_np), dev)
+    traj_d = jax.device_put(jnp.asarray(traj), dev)
+
+    def make_cloud(r, v):
+        pts = jnp.stack([r * jnp.cos(angles), r * jnp.sin(angles)], -1)
+        return Scan(pts, v, jnp.zeros(3, jnp.float32))
+
+    @jax.jit
+    def boot(state, radii, valids, poses):
+        def body(st, inp):
+            r, v, p = inp
+            st, _ = hector.update(st, make_cloud(r, v), p, cfg,
+                                  map_without_matching=jnp.asarray(True))
+            return st, None
+        st, _ = jax.lax.scan(body, state, (radii, valids, poses))
+        return st
+
+    @jax.jit
+    def replay(state, radii, valids):
+        def body(st, inp):
+            r, v = inp
+            st, info = hector.update(st, make_cloud(r, v), st.match_pose, cfg,
+                                     map_without_matching=jnp.asarray(False))
+            return st, (st.match_pose, info.map_updated)
+        return jax.lax.scan(body, state, (radii, valids))
+
+    state = hector.init(cfg, traj[0])
+    state = boot(state, radii[:bootstrap], valids[:bootstrap],
+                 traj_d[:bootstrap])
+
+    # warmup/compile
+    stf, (poses, upd) = replay(state, radii[bootstrap:], valids[bootstrap:])
+    jax.block_until_ready(stf)
+
+    # timed: best of 5 (tunnelled dispatch adds noise)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        stf, (poses, upd) = replay(state, radii[bootstrap:], valids[bootstrap:])
+        jax.block_until_ready(stf)
+        best = min(best, time.time() - t0)
+
+    scans_per_sec = n_scans / best
+    err = np.asarray(poses) - traj[bootstrap:]
+    pos_err = np.linalg.norm(err[:, :2], axis=1)
+    ate = float(np.sqrt((pos_err ** 2).mean()))
+
+    print(json.dumps({
+        "metric": "hector_3level_400x400_scans_per_sec_per_chip",
+        "value": round(scans_per_sec, 1),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / 17.0, 2),
+        "ate_m": round(ate, 4),
+        "max_err_m": round(float(pos_err.max()), 4),
+        "map_updates": int(np.asarray(upd).sum()),
+        "n_scans": n_scans,
+        "device": str(jax.devices()[0]),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

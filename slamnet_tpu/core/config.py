@@ -105,6 +105,19 @@ class HectorConfig(_Overlayable):
         return tuple(out)
 
     @property
+    def level_offsets(self) -> Tuple[int, ...]:
+        """Start offset of each level inside the concatenated pyramid table."""
+        out, off = [], 0
+        for s in self.level_sizes:
+            out.append(off)
+            off += s * s
+        return tuple(out)
+
+    @property
+    def total_cells(self) -> int:
+        return sum(s * s for s in self.level_sizes)
+
+    @property
     def log_odds_free(self) -> float:
         p = self.update_factor_free
         return math.log(p / (1.0 - p))
