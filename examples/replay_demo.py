@@ -21,7 +21,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scans", type=int, default=200)
     ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu")
-    ap.add_argument("--pipeline", choices=["coreslam", "hector", "both"],
+    ap.add_argument("--pipeline",
+                    choices=["coreslam", "hector", "particle", "both", "all"],
                     default="coreslam")
     ap.add_argument("--trajectory", choices=["loop", "stationary", "spin"],
                     default="loop")
@@ -58,7 +59,7 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     results = {}
 
-    if args.pipeline in ("coreslam", "both"):
+    if args.pipeline in ("coreslam", "both", "all"):
         cfg = CoreSlamConfig(num_candidates=args.candidates)
         state = coreslam.init(cfg, traj[0], key=jax.random.PRNGKey(args.seed + 1))
 
@@ -85,7 +86,39 @@ def main():
             max_ang_deg=float(np.degrees(np.abs(errs[:, 2])).max()),
             scans_per_sec=traj.shape[0] / dt)
 
-    if args.pipeline in ("hector", "both"):
+    if args.pipeline in ("particle", "all"):
+        from slamnet_tpu.core import ParticleConfig
+        from slamnet_tpu.models import particle
+        ccfg = CoreSlamConfig()
+        pcfg = ParticleConfig(num_particles=2048, top_k=32,
+                              refine_candidates=32)
+        pstate = particle.init(ccfg, pcfg, traj[0],
+                               key=jax.random.PRNGKey(args.seed + 2))
+
+        @jax.jit
+        def p_step(state, real_pose, key):
+            radii, valid = lidar.scan_revolution(
+                fld, real_pose, angles, sim.max_scan_dist, sim.measure_error, key)
+            pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
+            cloud = Scan(pts, valid, jnp.zeros(3, jnp.float32))
+            return particle.update(state, cloud, state.pose, ccfg, pcfg)
+
+        errs = []
+        t0 = time.time()
+        for t in range(traj.shape[0]):
+            key, sub = jax.random.split(key)
+            pstate, pinfo = p_step(pstate, jnp.asarray(traj[t]), sub)
+            errs.append(np.asarray(pstate.pose) - traj[t])
+        jax.block_until_ready(pstate)
+        dt = time.time() - t0
+        errs = np.asarray(errs)
+        pos = np.linalg.norm(errs[:, :2], axis=1)
+        results["particle"] = dict(
+            ate=float(np.sqrt((pos ** 2).mean())), max_err=float(pos.max()),
+            max_ang_deg=float(np.degrees(np.abs(errs[:, 2])).max()),
+            scans_per_sec=traj.shape[0] / dt)
+
+    if args.pipeline in ("hector", "both", "all"):
         try:
             from slamnet_tpu.models import hector
         except ImportError:

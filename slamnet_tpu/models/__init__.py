@@ -1,3 +1,3 @@
-from . import coreslam, hector
+from . import coreslam, hector, particle
 
-__all__ = ["coreslam", "hector"]
+__all__ = ["coreslam", "hector", "particle"]

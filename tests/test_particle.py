@@ -1,0 +1,66 @@
+"""Batched particle SLAM layer: localization on the simulator."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slamnet_tpu.core import CoreSlamConfig, ParticleConfig, SimConfig
+from slamnet_tpu.core.scan import Scan
+from slamnet_tpu.models import particle
+from slamnet_tpu.sim import default_field, lidar
+from slamnet_tpu.sim.trajectory import loop_trajectory, stationary_trajectory
+
+
+def _run(traj, num_particles=512, top_k=16, refine=16, key=None):
+    ccfg = CoreSlamConfig()
+    pcfg = ParticleConfig(num_particles=num_particles, top_k=top_k,
+                          refine_candidates=refine)
+    sim = SimConfig()
+    fld = default_field()
+    angles = jnp.asarray(lidar.revolution_angles(sim.num_scan_points))
+    key = key if key is not None else jax.random.PRNGKey(0)
+    state = particle.init(ccfg, pcfg, traj[0])
+
+    @jax.jit
+    def step(state, real_pose, key):
+        radii, valid = lidar.scan_revolution(fld, real_pose, angles,
+                                             sim.max_scan_dist,
+                                             sim.measure_error, key)
+        pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
+        cloud = Scan(pts, valid, jnp.zeros(3, jnp.float32))
+        return particle.update(state, cloud, state.pose, ccfg, pcfg)
+
+    errs, infos = [], []
+    for t in range(traj.shape[0]):
+        key, sub = jax.random.split(key)
+        state, info = step(state, jnp.asarray(traj[t]), sub)
+        errs.append(np.asarray(state.pose) - traj[t])
+        infos.append(info)
+    return state, np.asarray(errs), infos
+
+
+def test_stationary_particle_lock():
+    traj = stationary_trajectory(num_scans=30)
+    state, errs, infos = _run(traj)
+    pos = np.linalg.norm(errs[:, :2], axis=1)
+    assert pos.max() < 0.3, pos.max()
+    assert np.abs(errs[:, 2]).max() < math.radians(5.0)
+    # population stays coherent around the estimate
+    spread = np.asarray(state.particles[:, :2]).std(axis=0).max()
+    assert spread < 1.0
+
+
+def test_loop_particle_tracking():
+    traj = loop_trajectory(speed=0.3)[:250]
+    state, errs, infos = _run(traj)
+    pos = np.linalg.norm(errs[:, :2], axis=1)
+    assert pos.max() < 1.0, pos.max()
+    assert np.abs(errs[:, 2]).max() < math.radians(10.0)
+
+
+def test_ess_and_resampling_sane():
+    traj = stationary_trajectory(num_scans=20)
+    _, _, infos = _run(traj)
+    ess = np.asarray([float(i.ess) for i in infos])
+    assert np.all(ess >= 1.0) and np.all(ess <= 512.0)
