@@ -1,0 +1,120 @@
+"""Pose-graph layer: GN recovers noisy trajectories, Schur == dense, sharded ==
+single-device, frontend scan matching recovers known offsets."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slamnet_tpu.core.geometry import pose_between, pose_compose
+from slamnet_tpu.core.scan import Scan
+from slamnet_tpu.graph import distributed, frontend, posegraph
+from slamnet_tpu.parallel import make_mesh
+
+
+def _circle_graph(n=24, radius=5.0, odo_noise=0.03, seed=0, max_nodes=32,
+                  max_edges=64):
+    """Ground-truth circle; odometry edges with noise + a few exact closures."""
+    rng = np.random.default_rng(seed)
+    ths = np.linspace(0, 2 * math.pi, n, endpoint=False)
+    truth = np.stack([radius * np.cos(ths), radius * np.sin(ths),
+                      ths + math.pi / 2], -1).astype(np.float32)
+
+    g = posegraph.init(max_nodes, max_edges)
+    # initialize nodes with DRIFTED poses integrated from noisy odometry
+    est = truth[0].copy()
+    g, _ = posegraph.add_node(g, est)
+    ests = [est.copy()]
+    for t in range(1, n):
+        rel = np.asarray(pose_between(jnp.asarray(truth[t - 1]),
+                                      jnp.asarray(truth[t])))
+        noisy = rel + rng.normal(0, odo_noise, 3).astype(np.float32)
+        est = np.asarray(pose_compose(jnp.asarray(est), jnp.asarray(noisy)))
+        g, _ = posegraph.add_node(g, est)
+        ests.append(est.copy())
+        g = posegraph.add_edge(g, t - 1, t, noisy, (10.0, 10.0, 40.0))
+    # exact loop closures: 0->n/2 and n-1->0
+    rel = np.asarray(pose_between(jnp.asarray(truth[0]),
+                                  jnp.asarray(truth[n // 2])))
+    g = posegraph.add_edge(g, 0, n // 2, rel, (100.0, 100.0, 400.0))
+    rel = np.asarray(pose_between(jnp.asarray(truth[n - 1]),
+                                  jnp.asarray(truth[0])))
+    g = posegraph.add_edge(g, n - 1, 0, rel, (100.0, 100.0, 400.0))
+    return g, truth, np.asarray(ests)
+
+
+def test_gn_reduces_error_and_recovers_circle():
+    g, truth, ests = _circle_graph()
+    e0 = float(posegraph.total_error(g))
+    opt = posegraph.optimize(g, iterations=15)
+    e1 = float(posegraph.total_error(opt))
+    assert e1 < e0 * 0.2, (e0, e1)
+    n = truth.shape[0]
+    before = np.linalg.norm(ests[:, :2] - truth[:, :2], axis=1)
+    after = np.linalg.norm(np.asarray(opt.poses[:n, :2]) - truth[:, :2], axis=1)
+    # drift reduced (node 0 anchored at its initial = true pose)
+    assert after.mean() < before.mean()
+    assert after.max() < 0.35, after.max()
+
+
+def test_schur_solve_equals_dense():
+    g, _, _ = _circle_graph()
+    H, b = posegraph.build_normal_equations(g)
+    dense = np.asarray(jnp.linalg.solve(H, -b))
+    schur = np.asarray(posegraph.solve_schur(H, b, n_keep=10))
+    np.testing.assert_allclose(schur, dense, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_gn_equals_dense():
+    g, _, _ = _circle_graph(max_edges=64)   # 64 edges / 8 devices
+    mesh = make_mesh({"edge": 8})
+    single = posegraph.gn_step(g)
+    shard = distributed.sharded_gn_step(mesh, g)
+    np.testing.assert_allclose(np.asarray(shard.poses),
+                               np.asarray(single.poses), rtol=1e-4, atol=1e-4)
+
+
+def _ring_scan(center_offset, n=256, radius=6.0, seed=3):
+    """Points of a square room seen from a pose offset inside it."""
+    rng = np.random.default_rng(seed)
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    # square room half-size `radius`: distance to wall along each ray
+    cx, cy, cth = center_offset
+    d = np.full(n, np.inf)
+    for wall, axis, sign in ((radius, 0, 1), (-radius, 0, -1),
+                             (radius, 1, 1), (-radius, 1, -1)):
+        dirv = np.stack([np.cos(ang + cth), np.sin(ang + cth)], -1)
+        denom = dirv[:, axis]
+        t = (wall - (cx if axis == 0 else cy)) / np.where(
+            np.abs(denom) < 1e-9, 1e-9, denom)
+        t = np.where(t > 0, t, np.inf)
+        d = np.minimum(d, t)
+    d = np.clip(d, 0, 30.0)
+    pts = np.stack([d * np.cos(ang), d * np.sin(ang)], -1).astype(np.float32)
+    return Scan(jnp.asarray(pts), jnp.ones(n, bool), jnp.zeros(3, jnp.float32))
+
+
+def test_match_scans_recovers_relative_pose():
+    cfg = frontend.ScanMatchConfig()
+    ref = _ring_scan((0.0, 0.0, 0.0))
+    true_rel = np.asarray([0.4, -0.3, 0.08], np.float32)
+    qry = _ring_scan(tuple(true_rel))
+    rel, resid = frontend.match_scans(ref, qry, (0.0, 0.0, 0.0), cfg)
+    err = np.asarray(rel) - true_rel
+    assert abs(err[0]) < 0.1 and abs(err[1]) < 0.1, rel
+    assert abs(err[2]) < 0.05
+
+
+def test_keyframe_due_and_loop_candidates():
+    assert bool(frontend.keyframe_due(jnp.zeros(3),
+                                      jnp.asarray([0.6, 0.0, 0.0]), 0.5, 0.3))
+    assert not bool(frontend.keyframe_due(jnp.zeros(3),
+                                          jnp.asarray([0.1, 0.0, 0.1]), 0.5, 0.3))
+    poses = jnp.asarray([[0, 0, 0], [5, 0, 0], [0.3, 0, 0], [0.1, 0, 0]],
+                        jnp.float32)
+    valid = jnp.ones(4, bool)
+    mask = frontend.loop_candidates(poses, valid, 3, radius=1.0,
+                                    min_index_gap=2)
+    np.testing.assert_array_equal(np.asarray(mask), [True, False, False, False])
