@@ -22,7 +22,8 @@ def main():
     ap.add_argument("--scans", type=int, default=200)
     ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu")
     ap.add_argument("--pipeline",
-                    choices=["coreslam", "hector", "particle", "both", "all"],
+                    choices=["coreslam", "hector", "particle", "graph", "both",
+                             "all"],
                     default="coreslam")
     ap.add_argument("--trajectory", choices=["loop", "stationary", "spin"],
                     default="loop")
@@ -117,6 +118,42 @@ def main():
             ate=float(np.sqrt((pos ** 2).mean())), max_err=float(pos.max()),
             max_ang_deg=float(np.degrees(np.abs(errs[:, 2])).max()),
             scans_per_sec=traj.shape[0] / dt)
+
+    if args.pipeline in ("graph", "all"):
+        from slamnet_tpu.core import PoseGraphConfig
+        from slamnet_tpu.models import graph_slam
+        hcfg = HectorConfig()
+        gcfg = PoseGraphConfig(max_keyframes=64, max_edges=256,
+                               keyframe_dist=1.0, keyframe_angle=0.6)
+        gstate = graph_slam.init(hcfg, gcfg, traj[0], len(angles))
+
+        @jax.jit
+        def g_step(state, real_pose, key, boot):
+            radii, valid = lidar.scan_revolution(
+                fld, real_pose, angles, sim.max_scan_dist, sim.measure_error, key)
+            pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
+            cloud = Scan(pts, valid, jnp.zeros(3, jnp.float32))
+            return graph_slam.update(state, cloud, hcfg, gcfg,
+                                     map_without_matching=boot)
+
+        errs, nloops = [], 0
+        t0 = time.time()
+        for t in range(traj.shape[0]):
+            key, sub = jax.random.split(key)
+            gstate, ginfo = g_step(gstate, jnp.asarray(traj[t]), sub,
+                                   jnp.asarray(t < 10))
+            errs.append(np.asarray(gstate.hector.match_pose) - traj[t])
+        jax.block_until_ready(gstate)
+        dt = time.time() - t0
+        errs = np.asarray(errs)
+        pos = np.linalg.norm(errs[:, :2], axis=1)
+        results["graph"] = dict(
+            ate=float(np.sqrt((pos ** 2).mean())), max_err=float(pos.max()),
+            max_ang_deg=float(np.degrees(np.abs(errs[:, 2])).max()),
+            scans_per_sec=traj.shape[0] / dt)
+        print(f"graph: {int(gstate.graph.num_nodes)} keyframes, "
+              f"{int(gstate.graph.num_edges)} edges, "
+              f"{int(gstate.loop_count)} loop closures")
 
     if args.pipeline in ("hector", "both", "all"):
         try:

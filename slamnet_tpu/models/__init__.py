@@ -1,3 +1,3 @@
-from . import coreslam, hector, particle
+from . import coreslam, graph_slam, hector, particle
 
-__all__ = ["coreslam", "hector", "particle"]
+__all__ = ["coreslam", "graph_slam", "hector", "particle"]

@@ -1,0 +1,159 @@
+"""Graph-SLAM: HectorSLAM odometry + keyframe pose graph with loop closures.
+
+The full-system composition required by BASELINE.json's north star (the reference
+stops at scan-to-map matching; SURVEY.md §1 "no loop closure, no pose graph"):
+
+  scan -> hector.update (local matching, live maps)
+       -> keyframe gate (frontend.keyframe_due)
+       -> odometry edge (relative pose between consecutive keyframes)
+       -> loop-closure search (frontend.loop_candidates + match_scans)
+       -> pose-graph GN optimization
+       -> trajectory correction applied back to the live matcher pose
+
+The LIVE occupancy pyramid is not rewritten on loop closure (that would be an
+O(map) rewrite per scan); instead the optimized keyframe trajectory is the
+product, and ``rebuild_maps`` re-rasterizes a clean pyramid from all stored
+keyframe scans at their optimized poses — the offline "map finalization" pass.
+
+Everything is fixed-shape: K keyframe slots with stored clouds, gated writes via
+lax.cond.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import HectorConfig, PoseGraphConfig
+from ..core.geometry import normalize_angle, pose_between, pose_compose
+from ..core.scan import Scan
+from ..graph import frontend, posegraph
+from . import hector
+
+
+class GraphSlamState(NamedTuple):
+    hector: hector.HectorState
+    graph: posegraph.PoseGraph
+    kf_points: jnp.ndarray     # f32[K, N, 2] stored keyframe clouds
+    kf_valid: jnp.ndarray      # bool[K, N]
+    last_kf_pose: jnp.ndarray  # f32[3]
+    loop_count: jnp.ndarray    # i32[] accepted loop closures
+
+
+class GraphSlamInfo(NamedTuple):
+    keyframe_added: jnp.ndarray
+    loop_closed: jnp.ndarray
+    map_updated: jnp.ndarray
+
+
+def init(hcfg: HectorConfig, gcfg: PoseGraphConfig, start_pose,
+         num_beams: int) -> GraphSlamState:
+    g = posegraph.init(gcfg.max_keyframes, gcfg.max_edges)
+    g, _ = posegraph.add_node(g, jnp.asarray(start_pose, jnp.float32))
+    return GraphSlamState(
+        hector=hector.init(hcfg, start_pose),
+        graph=g,
+        kf_points=jnp.zeros((gcfg.max_keyframes, num_beams, 2), jnp.float32),
+        kf_valid=jnp.zeros((gcfg.max_keyframes, num_beams), bool),
+        last_kf_pose=jnp.asarray(start_pose, jnp.float32),
+        loop_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def _spawn_keyframe(state: GraphSlamState, scan: Scan, pose,
+                    gcfg: PoseGraphConfig,
+                    mcfg: frontend.ScanMatchConfig) -> Tuple[GraphSlamState,
+                                                             jnp.ndarray]:
+    g = state.graph
+    prev_idx = g.num_nodes - 1
+    prev_pose = g.poses[prev_idx]
+
+    g, new_idx = posegraph.add_node(g, pose)
+    rel = pose_between(prev_pose, pose)
+    g = posegraph.add_edge(g, prev_idx, new_idx, rel, (50.0, 50.0, 200.0))
+
+    safe = jnp.minimum(new_idx, state.kf_points.shape[0] - 1)
+    kf_points = state.kf_points.at[safe].set(scan.points)
+    kf_valid = state.kf_valid.at[safe].set(scan.valid)
+
+    # ---- loop closure: nearest valid candidate by proximity
+    cand_mask = frontend.loop_candidates(g.poses, g.node_valid, new_idx,
+                                         gcfg.loop_closure_radius, 5)
+    d = jnp.linalg.norm(g.poses[:, :2] - pose[None, :2], axis=1)
+    d = jnp.where(cand_mask, d, jnp.inf)
+    cand = jnp.argmin(d)
+    has_cand = jnp.isfinite(d[cand])
+
+    def close_loop(g):
+        cand_scan = Scan(state.kf_points[cand], state.kf_valid[cand],
+                         jnp.zeros(3, jnp.float32))
+        init_rel = pose_between(g.poses[cand], pose)
+        rel, resid = frontend.match_scans(cand_scan, scan, init_rel, mcfg)
+        # accept when the matcher stayed near its init (no divergence) and the
+        # residual gradient is small
+        ok = (jnp.linalg.norm(rel[:2] - init_rel[:2]) < 1.0) & (resid < 0.05)
+        g2 = posegraph.add_edge(g, cand, new_idx, rel, (100.0, 100.0, 400.0))
+        g2 = jax.tree.map(lambda a, b: jnp.where(ok, a, b), g2, g)
+        return g2, ok
+
+    def no_loop(g):
+        return g, jnp.asarray(False)
+
+    g, looped = jax.lax.cond(has_cand, close_loop, no_loop, g)
+
+    # optimize after every keyframe (dense MXU solve; cheap at K<=256)
+    g = posegraph.optimize(g, iterations=3, anchor_weight=1e6)
+
+    new_state = state._replace(graph=g, kf_points=kf_points, kf_valid=kf_valid,
+                               last_kf_pose=pose,
+                               loop_count=state.loop_count + looped)
+    return new_state, looped
+
+
+def update(state: GraphSlamState, scan: Scan, hcfg: HectorConfig,
+           gcfg: PoseGraphConfig,
+           mcfg: frontend.ScanMatchConfig | None = None,
+           map_without_matching=False) -> Tuple[GraphSlamState, GraphSlamInfo]:
+    if mcfg is None:
+        mcfg = frontend.ScanMatchConfig()
+
+    hstate, hinfo = hector.update(state.hector, scan, state.hector.match_pose,
+                                  hcfg, map_without_matching)
+    pose = hstate.match_pose
+
+    due = frontend.keyframe_due(state.last_kf_pose, pose, gcfg.keyframe_dist,
+                                gcfg.keyframe_angle)
+
+    def with_kf(st):
+        st2, looped = _spawn_keyframe(st._replace(hector=hstate), scan, pose,
+                                      gcfg, mcfg)
+        # re-anchor the live matcher to the optimized current keyframe
+        opt_pose = st2.graph.poses[st2.graph.num_nodes - 1]
+        h = st2.hector._replace(match_pose=opt_pose.at[2].set(
+            normalize_angle(opt_pose[2])))
+        return st2._replace(hector=h), looped
+
+    def without_kf(st):
+        return st._replace(hector=hstate), jnp.asarray(False)
+
+    new_state, looped = jax.lax.cond(due, with_kf, without_kf, state)
+    return new_state, GraphSlamInfo(keyframe_added=due, loop_closed=looped,
+                                    map_updated=hinfo.map_updated)
+
+
+def rebuild_maps(state: GraphSlamState, hcfg: HectorConfig) -> jnp.ndarray:
+    """Offline map finalization: rasterize every stored keyframe scan at its
+    OPTIMIZED pose into a fresh pyramid (lax.scan over keyframe slots)."""
+    empty = jnp.zeros((hcfg.total_cells,), jnp.float32)
+
+    def body(maps, inp):
+        pts, valid, pose, is_kf = inp
+        cloud = Scan(pts, valid & is_kf, jnp.zeros(3, jnp.float32))
+        new = hector.update_maps(maps, cloud, pose, hcfg)
+        return jnp.where(is_kf, new, maps), None
+
+    maps, _ = jax.lax.scan(body, empty,
+                           (state.kf_points, state.kf_valid, state.graph.poses,
+                            state.graph.node_valid))
+    return maps
