@@ -1,0 +1,107 @@
+"""Native host runtime: queue threading, slog codec round-trip + corruption
+detection, de-skew pack equivalence with the jnp path."""
+import os
+import struct
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from slamnet_tpu import hostio
+from slamnet_tpu.core.scan import SegmentScan, segments_to_cloud
+
+pytestmark = pytest.mark.skipif(hostio.load_library() is None,
+                                reason="native toolchain unavailable")
+
+
+def test_scan_queue_threaded_handoff():
+    slot = 64
+    q = hostio.ScanQueue(capacity=4, slot_bytes=slot)
+    got = []
+
+    def consumer():
+        while True:
+            item = q.pop(timeout_ms=2000)
+            if item is None:
+                break
+            got.append(item)
+            if len(got) == 20:
+                break
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    for i in range(20):
+        assert q.push(struct.pack("<q", i).ljust(slot, b"\0"), timeout_ms=2000) == 1
+    t.join(timeout=5)
+    assert len(got) == 20
+    assert [struct.unpack_from("<q", g)[0] for g in got] == list(range(20))
+    assert q.dropped == 0
+
+
+def test_scan_queue_drop_on_full():
+    q = hostio.ScanQueue(capacity=2, slot_bytes=8)
+    assert q.push(b"\x00" * 8, timeout_ms=0) == 1
+    assert q.push(b"\x01" * 8, timeout_ms=0) == 1
+    assert q.push(b"\x02" * 8, timeout_ms=0) == 0   # full -> dropped
+    assert q.dropped == 1
+    assert len(q) == 2
+
+
+def test_slog_roundtrip(tmp_path):
+    path = str(tmp_path / "t.slog")
+    n = 40
+    rng = np.random.default_rng(0)
+    w = hostio.SlogWriter(path, n)
+    records = []
+    for i in range(7):
+        odom = rng.normal(size=3).astype(np.float32)
+        radii = rng.uniform(0, 40, n).astype(np.float32)
+        valid = rng.random(n) > 0.3
+        w.append(1000 + i, odom, radii, valid)
+        records.append((1000 + i, odom, radii, valid))
+    w.close()
+
+    r = hostio.SlogReader(path)
+    assert r.num_beams == n
+    out = list(r)
+    r.close()
+    assert len(out) == 7
+    for (ts, od, ra, va), (wts, wod, wra, wva) in zip(out, records):
+        assert ts == wts
+        np.testing.assert_array_equal(od, wod)
+        np.testing.assert_array_equal(ra, wra)
+        np.testing.assert_array_equal(va, wva)
+
+
+def test_slog_detects_corruption(tmp_path):
+    path = str(tmp_path / "c.slog")
+    n = 16
+    w = hostio.SlogWriter(path, n)
+    w.append(1, np.zeros(3, np.float32), np.ones(n, np.float32),
+             np.ones(n, bool))
+    w.close()
+    data = bytearray(open(path, "rb").read())
+    data[30] ^= 0xFF                      # flip a payload byte
+    open(path, "wb").write(bytes(data))
+    r = hostio.SlogReader(path)
+    with pytest.raises(IOError):
+        next(r)
+
+
+def test_pack_polar_deskew_matches_jnp():
+    rng = np.random.default_rng(1)
+    s, n = 3, 50
+    angles = rng.uniform(0, 2 * np.pi, (s, n)).astype(np.float32)
+    radii = rng.uniform(0.5, 30, (s, n)).astype(np.float32)
+    valid = rng.random((s, n)) > 0.2
+    poses = rng.normal(0, 1, (s, 3)).astype(np.float32)
+
+    pts, v = hostio.pack_polar_deskew(angles, radii, valid, poses)
+
+    import jax.numpy as jnp
+    seg = SegmentScan(jnp.asarray(angles), jnp.asarray(radii),
+                      jnp.asarray(valid), jnp.asarray(poses))
+    cloud = segments_to_cloud(seg)
+    np.testing.assert_allclose(pts, np.asarray(cloud.points), atol=2e-5)
+    np.testing.assert_array_equal(v, np.asarray(cloud.valid))
