@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--speed", type=float, default=0.3)
     ap.add_argument("--candidates", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dropout", type=float, default=0.0,
+                    help="per-ray dropout probability (fault injection)")
+    ap.add_argument("--render", metavar="DIR", default=None,
+                    help="save final map/pose PNGs to DIR")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -67,7 +71,8 @@ def main():
         @jax.jit
         def cs_step(state, real_pose, key):
             radii, valid = lidar.scan_revolution(
-                fld, real_pose, angles, sim.max_scan_dist, sim.measure_error, key)
+                fld, real_pose, angles, sim.max_scan_dist, sim.measure_error, key,
+                dropout_prob=args.dropout)
             pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
             cloud = Scan(pts, valid, jnp.zeros(3, jnp.float32))
             return coreslam.update_cloud(state, cloud, state.pose, cfg)
@@ -99,7 +104,8 @@ def main():
         @jax.jit
         def p_step(state, real_pose, key):
             radii, valid = lidar.scan_revolution(
-                fld, real_pose, angles, sim.max_scan_dist, sim.measure_error, key)
+                fld, real_pose, angles, sim.max_scan_dist, sim.measure_error, key,
+                dropout_prob=args.dropout)
             pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
             cloud = Scan(pts, valid, jnp.zeros(3, jnp.float32))
             return particle.update(state, cloud, state.pose, ccfg, pcfg)
@@ -130,7 +136,8 @@ def main():
         @jax.jit
         def g_step(state, real_pose, key, boot):
             radii, valid = lidar.scan_revolution(
-                fld, real_pose, angles, sim.max_scan_dist, sim.measure_error, key)
+                fld, real_pose, angles, sim.max_scan_dist, sim.measure_error, key,
+                dropout_prob=args.dropout)
             pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
             cloud = Scan(pts, valid, jnp.zeros(3, jnp.float32))
             return graph_slam.update(state, cloud, hcfg, gcfg,
@@ -167,7 +174,8 @@ def main():
         @jax.jit
         def h_step(state, real_pose, key, bootstrap):
             radii, valid = lidar.scan_revolution(
-                fld, real_pose, angles, sim.max_scan_dist, sim.measure_error, key)
+                fld, real_pose, angles, sim.max_scan_dist, sim.measure_error, key,
+                dropout_prob=args.dropout)
             pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
             cloud = Scan(pts, valid, jnp.zeros(3, jnp.float32))
             return hector.update(state, cloud, state.match_pose, hcfg,
@@ -188,6 +196,32 @@ def main():
             ate=float(np.sqrt((pos ** 2).mean())), max_err=float(pos.max()),
             max_ang_deg=float(np.degrees(np.abs(errs[:, 2])).max()),
             scans_per_sec=traj.shape[0] / dt)
+
+    if args.render:
+        os.makedirs(args.render, exist_ok=True)
+        from slamnet_tpu.io import viz
+        edges = (np.asarray(fld.a), np.asarray(fld.b))
+        real = traj[-1]
+        if "coreslam" in results:
+            viz.render_frame(
+                os.path.join(args.render, "coreslam.png"),
+                hole_map=state.hole_map, hole_size=cfg.hole_map_size,
+                physical_size=cfg.physical_map_size, field_edges=edges,
+                real_pose=real,
+                estimates={"coreslam": (np.asarray(state.pose), "blue")},
+                trajectory=traj, title="(final)")
+        if "hector" in results or "graph" in results:
+            from slamnet_tpu.models import hector as hx
+            hs = gstate.hector if "graph" in results else hstate
+            viz.render_frame(
+                os.path.join(args.render, "hector.png"),
+                logodds=hx.level_view(hs.maps, hcfg, 0).reshape(-1),
+                occ_size=hcfg.map_size,
+                physical_size=hcfg.map_size * hcfg.map_resolution,
+                field_edges=edges, real_pose=real,
+                estimates={"hector": (np.asarray(hs.match_pose), "green")},
+                trajectory=traj, title="(level 0, final)")
+        print(f"rendered PNGs to {args.render}")
 
     ok = True
     for name, r in results.items():

@@ -31,18 +31,30 @@ def revolution_angles(num_scan_points: int) -> np.ndarray:
 
 
 def scan_revolution(fld: field_mod.Field, real_pose, angles, max_dist: float,
-                    measure_error: float, key) -> tuple[jnp.ndarray, jnp.ndarray]:
+                    measure_error: float, key, dropout_prob: float = 0.0,
+                    range_error_std: float = 0.0) -> tuple[jnp.ndarray,
+                                                           jnp.ndarray]:
     """One revolution at `real_pose`; returns (radii f32[R], valid bool[R]).
 
     Noise model of MainWindow.xaml.cs:397: ``hit += (rnd.Next(-100,100)/100) * err``
     — i.e. uniform on the discrete grid {-1.00, -0.99, ..., 0.99} * err.
+
+    Fault injection (SURVEY.md §5.3): `dropout_prob` randomly invalidates rays
+    (sensor dropouts); `range_error_std` adds gaussian range error — the
+    reference's declared-but-unused Field.RayTraceError (Field.cs:36) made real.
     """
     real_pose = jnp.asarray(real_pose, jnp.float32)
     lidar_angles = jnp.asarray(angles) + real_pose[2]
     hit, dist = field_mod.ray_cast(fld, real_pose[:2], lidar_angles, max_dist)
-    steps = jax.random.randint(key, dist.shape, -100, 100)
+    k1, k2, k3 = jax.random.split(key, 3)
+    steps = jax.random.randint(k1, dist.shape, -100, 100)
     noise = steps.astype(jnp.float32) / 100.0 * measure_error
-    return jnp.where(hit, dist + noise, 0.0), hit
+    if range_error_std > 0.0:
+        noise = noise + jax.random.normal(k2, dist.shape) * range_error_std
+    valid = hit
+    if dropout_prob > 0.0:
+        valid = valid & (jax.random.uniform(k3, dist.shape) >= dropout_prob)
+    return jnp.where(valid, dist + noise, 0.0), valid
 
 
 def make_segment_scan(angles, radii, valid, odometry_pose) -> SegmentScan:
