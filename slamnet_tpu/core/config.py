@@ -83,6 +83,11 @@ class HectorConfig(_Overlayable):
     # True: reproduce the reference bug — MathEx.DegDiff (a degrees function) applied
     # to radian poses and compared SIGNED to the radian threshold
     # (HectorSLAMProcessor.cs:108; documented in SURVEY.md §2.3).
+    dense_free_fill: bool = False
+    # False (default): reference-parity Bresenham-line free marking.
+    # True: scatter-free dense polygon fill (ops/logodds.update_occupancy_dense)
+    # — 10-20x faster map updates, denser free evidence; use for fleet/mapping-
+    # heavy workloads (documented semantic difference).
     occupied_cap: float = 50.0          # log-odds cap (OccGridMap.cs:211)
     deriv_clamp: float = 0.2            # GN rotation step clamp, rad (ScanMatcher.cs:107-117)
     offset: Tuple[float, float] = (0.0, 0.0)  # map offset (MapRepMultiMap passes zero)

@@ -132,12 +132,14 @@ def update_maps(state_maps: jnp.ndarray, scan: Scan,
     independently from the raw scan.  The static per-level slices unroll at trace
     time; XLA schedules the data-independent level updates concurrently (the
     reference's Parallel.ForEach for free)."""
+    fn = (logodds.update_occupancy_dense if cfg.dense_free_fill
+          else logodds.update_occupancy)
     out = []
     for level in range(cfg.num_levels):
         width = cfg.level_sizes[level]
         off = cfg.level_offsets[level]
         scale = 1.0 / cfg.level_resolutions[level]
-        out.append(logodds.update_occupancy(
+        out.append(fn(
             state_maps[off:off + width * width], width, scan.points, scan.valid,
             pose_world, scan.pose[:2], scale, cfg.log_odds_free,
             cfg.log_odds_occupied, cfg.occupied_cap))

@@ -16,6 +16,7 @@ exact (bit-for-bit) vs the sequential semantics, verified in tests/test_hector_o
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.geometry import dotnet_round
@@ -66,6 +67,87 @@ def update_occupancy(logodds_flat: jnp.ndarray, width: int, points: jnp.ndarray,
 
     is_occ = occ > 0
     is_free = (free > 0) & ~is_occ
+    return (logodds_flat
+            + jnp.where(is_free, log_odds_free, 0.0)
+            + jnp.where(is_occ & (logodds_flat < occupied_cap),
+                        log_odds_occupied, 0.0))
+
+
+def update_occupancy_dense(logodds_flat: jnp.ndarray, width: int,
+                           points: jnp.ndarray, valid: jnp.ndarray,
+                           robot_pose_world: jnp.ndarray,
+                           scan_pose: jnp.ndarray, scale_to_map: float,
+                           log_odds_free: float, log_odds_occupied: float,
+                           occupied_cap: float = 50.0,
+                           angle_bins: int = 256) -> jnp.ndarray:
+    """Scatter-free occupancy update: free space as a dense polygon fill.
+
+    XLA's TPU scatter serializes (docs/PERF.md), which dominates mapping-heavy
+    workloads (fleet mode, update-every-scan).  The free region of one scan is
+    star-shaped around the robot, so instead of rasterizing B beam lines we:
+
+      1. scatter the B beam ranges into an `angle_bins` polar range table
+         (a B-point scatter — cheap);
+      2. for EVERY cell compute (range, angle) to the robot and mark it free iff
+         its range is under the table entry for its angle bin — pure dense VPU.
+
+    SEMANTIC DIFFERENCE vs the reference (documented, opt-in): beam lines mark
+    only the ~B*len cells ON the Bresenham lines; the dense fill marks the whole
+    swept polygon, so cells BETWEEN diverging beams (farther than ~bins/(2*pi)
+    cells out) also receive free evidence.  Occupied endpoints are identical.
+    Matching quality is equal or better (denser evidence); parity tests use the
+    line mode.
+    """
+    theta = robot_pose_world[2]
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    tx, ty = robot_pose_world[0], robot_pose_world[1]
+    bx = (c * scan_pose[0] - s * scan_pose[1] + tx) * scale_to_map
+    by = (s * scan_pose[0] + c * scan_pose[1] + ty) * scale_to_map
+    bxi, byi = dotnet_round(bx), dotnet_round(by)
+
+    ex = (c * points[:, 0] - s * points[:, 1] + tx) * scale_to_map
+    ey = (s * points[:, 0] + c * points[:, 1] + ty) * scale_to_map
+    exi, eyi = dotnet_round(ex), dotnet_round(ey)
+
+    in_dims = lambda x, y: (x >= 0) & (x < width) & (y >= 0) & (y < width)
+    same = (exi == bxi) & (eyi == byi)
+    beam_ok = valid & ~same & in_dims(bxi, byi) & in_dims(exi, eyi)
+
+    # polar range table: per angle bin, the MIN valid beam range (px) —
+    # conservative: free is marked only up to the shortest beam in the bin,
+    # and bins with no valid beam stay at 0 (no free marking in that sector).
+    # `angle_bins` must stay below the beam count so bins are covered.
+    dxe = (exi - bxi).astype(jnp.float32)
+    dye = (eyi - byi).astype(jnp.float32)
+    r_beam = jnp.sqrt(dxe * dxe + dye * dye)
+    ang = jnp.arctan2(dye, dxe)                        # (-pi, pi]
+    bins = ((ang + jnp.pi) * (angle_bins / (2.0 * jnp.pi))).astype(jnp.int32)
+    bins = jnp.clip(bins, 0, angle_bins - 1)
+    big = jnp.float32(1e9)
+    table = jnp.full(angle_bins, big, jnp.float32).at[
+        jnp.where(beam_ok, bins, 0)].min(jnp.where(beam_ok, r_beam, big))
+    table = jnp.where(table >= big, 0.0, table)
+
+    # dense per-cell test
+    yy = jax.lax.broadcasted_iota(jnp.int32, (width, width), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (width, width), 1)
+    dx = (xx - bxi).astype(jnp.float32)
+    dy = (yy - byi).astype(jnp.float32)
+    r_cell = jnp.sqrt(dx * dx + dy * dy)
+    cang = jnp.arctan2(dy, dx)
+    cbin = jnp.clip(((cang + jnp.pi) * (angle_bins / (2.0 * jnp.pi)))
+                    .astype(jnp.int32), 0, angle_bins - 1)
+    r_lim = jnp.take(table, cbin)
+    is_free_img = (r_cell < r_lim - 0.5) & (r_cell > 0.0)
+
+    # occupied endpoints: a B-point scatter (cheap)
+    end_flat = eyi * width + exi
+    occ = jnp.zeros(width * width, jnp.int32).at[
+        jnp.where(beam_ok, end_flat, 0)].max(beam_ok.astype(jnp.int32))
+
+    any_beam = jnp.any(beam_ok)
+    is_occ = occ > 0
+    is_free = is_free_img.reshape(-1) & ~is_occ & any_beam
     return (logodds_flat
             + jnp.where(is_free, log_odds_free, 0.0)
             + jnp.where(is_occ & (logodds_flat < occupied_cap),

@@ -1,0 +1,74 @@
+"""Fleet serving: batched instances track independently and match the unbatched
+pipeline."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slamnet_tpu.core import HectorConfig, SimConfig
+from slamnet_tpu.core.scan import Scan
+from slamnet_tpu.models import fleet, hector
+from slamnet_tpu.sim import default_field, lidar
+from slamnet_tpu.sim.trajectory import stationary_trajectory
+
+
+def test_fleet_tracks_multiple_poses():
+    cfg = HectorConfig(num_levels=2, map_size=128, estimate_iterations=(5, 4),
+                       map_resolution=0.3125)  # 40 m span at 128 px
+    sim = SimConfig()
+    fld = default_field()
+    angles = jnp.asarray(lidar.revolution_angles(200))
+    starts = np.asarray([[20.0, 20.0, 0.0], [26.0, 12.0, 1.0],
+                         [12.0, 28.0, -0.7], [24.0, 28.0, 2.0]], np.float32)
+    b = starts.shape[0]
+    states = fleet.init_fleet(cfg, starts)
+
+    @jax.jit
+    def step(states, key, boot):
+        keys = jax.random.split(key, b)
+        def scan_one(p, k):
+            return lidar.scan_revolution(fld, p, angles, sim.max_scan_dist,
+                                         sim.measure_error, k)
+        radii, valid = jax.vmap(scan_one)(jnp.asarray(starts), keys)
+        pts = jnp.stack([radii * jnp.cos(angles)[None], radii * jnp.sin(angles)[None]], -1)
+        return fleet.update_fleet(states, pts, valid, cfg,
+                                  map_without_matching=boot)
+
+    key = jax.random.PRNGKey(0)
+    for t in range(15):
+        key, sub = jax.random.split(key)
+        states, info = step(states, sub, jnp.asarray(t < 5))
+
+    err = np.asarray(states.match_pose) - starts
+    assert np.linalg.norm(err[:, :2], axis=1).max() < 0.3
+    # instances built DIFFERENT maps (different viewpoints)
+    m = np.asarray(states.maps)
+    assert m.shape[0] == b
+    occupied = (m > 0).sum(axis=1)
+    assert (occupied > 50).all()
+    assert np.abs(np.diff(occupied)).max() > 0   # not identical
+
+
+def test_fleet_matches_unbatched_single_instance():
+    cfg = HectorConfig(num_levels=2, map_size=64, estimate_iterations=(3, 3),
+                       map_resolution=0.625)
+    n = 100
+    rng = np.random.default_rng(0)
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False).astype(np.float32)
+    r = rng.uniform(3.0, 15.0, n).astype(np.float32)
+    pts = np.stack([r * np.cos(ang), r * np.sin(ang)], -1).astype(np.float32)
+
+    single = hector.init(cfg, (20.0, 20.0, 0.0))
+    batch = fleet.init_fleet(cfg, np.asarray([[20.0, 20.0, 0.0]], np.float32))
+
+    for boot in (True, True, False, False):
+        cloud = Scan(jnp.asarray(pts), jnp.ones(n, bool),
+                     jnp.zeros(3, jnp.float32))
+        single, _ = hector.update(single, cloud, single.match_pose, cfg,
+                                  map_without_matching=jnp.asarray(boot))
+        batch, _ = fleet.update_fleet(batch, jnp.asarray(pts)[None],
+                                      jnp.ones((1, n), bool), cfg,
+                                      map_without_matching=boot)
+    np.testing.assert_allclose(np.asarray(batch.match_pose[0]),
+                               np.asarray(single.match_pose), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(batch.maps[0]),
+                               np.asarray(single.maps), atol=1e-5)
