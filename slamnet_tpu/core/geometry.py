@@ -102,6 +102,30 @@ def pose_between(a, b):
     return pose_compose(pose_inverse(a), b)
 
 
+def limit(x, lo, hi):
+    """Clamp (MathEx.Limit float/int overloads, BaseSLAM/MathEx.cs:21-36)."""
+    return jnp.clip(x, lo, hi)
+
+
+def find_position_on_line(p, a, b):
+    """Project point p onto the infinite line through a-b
+    (VectorEx.FindPositionOnLine, BaseSLAM/VectorEx.cs:35-46)."""
+    p = jnp.asarray(p, jnp.float32)
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    ab = b - a
+    denom = jnp.maximum(jnp.sum(ab * ab, axis=-1, keepdims=True), 1e-12)
+    t = jnp.sum((p - a) * ab, axis=-1, keepdims=True) / denom
+    return a + t * ab
+
+
+def point_to_line_distance(p, a, b):
+    """Distance from p to the infinite line through a-b
+    (VectorEx.PointToLine, BaseSLAM/VectorEx.cs:55-61)."""
+    proj = find_position_on_line(p, a, b)
+    return jnp.linalg.norm(jnp.asarray(p, jnp.float32) - proj, axis=-1)
+
+
 def csharp_trunc(x):
     """C# (int) cast semantics: truncate toward zero.
 

@@ -57,6 +57,28 @@ def level_view(maps: jnp.ndarray, cfg: HectorConfig, level: int) -> jnp.ndarray:
     return maps[off:off + s * s].reshape(s, s)
 
 
+def map_extents(maps: jnp.ndarray, cfg: HectorConfig, level: int = 0):
+    """Bounding box of touched (non-default) cells at one level:
+    (found bool, x_min, y_min, x_max, y_max) — GridMap.GetMapExtends
+    (GridMap.cs:147-207), vectorized."""
+    grid = level_view(maps, cfg, level)
+    touched = grid != 0.0
+    any_t = jnp.any(touched)
+    s = grid.shape[0]
+    cols = jnp.any(touched, axis=0)
+    rows = jnp.any(touched, axis=1)
+    idx = jnp.arange(s)
+    big = jnp.int32(s)
+    x_min = jnp.min(jnp.where(cols, idx, big))
+    y_min = jnp.min(jnp.where(rows, idx, big))
+    x_max = jnp.max(jnp.where(cols, idx, -1))
+    y_max = jnp.max(jnp.where(rows, idx, -1))
+    z = jnp.int32(0)
+    return (any_t,
+            jnp.where(any_t, x_min, z), jnp.where(any_t, y_min, z),
+            jnp.where(any_t, x_max, z), jnp.where(any_t, y_max, z))
+
+
 def world_to_map(pose_world: jnp.ndarray, scale_to_map: float,
                  offset) -> jnp.ndarray:
     """GetMapCoordsPose (GridMap.cs:122-137): p_map = p * scale + offset.
