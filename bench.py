@@ -75,30 +75,36 @@ def main():
         st, _ = jax.lax.scan(body, state, (radii, valids, poses))
         return st
 
-    @jax.jit
-    def replay(state, radii, valids):
-        def body(st, inp):
-            r, v = inp
-            st, info = hector.update(st, make_cloud(r, v), st.match_pose, cfg,
-                                     map_without_matching=jnp.asarray(False))
-            return st, (st.match_pose, info.map_updated)
-        return jax.lax.scan(body, state, (radii, valids))
+    def make_replay(unroll):
+        @jax.jit
+        def replay(state, radii, valids):
+            def body(st, inp):
+                r, v = inp
+                st, info = hector.update(st, make_cloud(r, v), st.match_pose,
+                                         cfg,
+                                         map_without_matching=jnp.asarray(False))
+                return st, (st.match_pose, info.map_updated)
+            return jax.lax.scan(body, state, (radii, valids), unroll=unroll)
+        return replay
 
     state = hector.init(cfg, traj[0])
     state = boot(state, radii[:bootstrap], valids[:bootstrap],
                  traj_d[:bootstrap])
 
-    # warmup/compile
-    stf, (poses, upd) = replay(state, radii[bootstrap:], valids[bootstrap:])
-    jax.block_until_ready(stf)
-
-    # timed: best of 5 (tunnelled dispatch adds noise)
+    # autotune over unroll factors: the remote XLA backend's scheduling is
+    # variant-sensitive (docs/PERF.md); measure each compiled variant and keep
+    # the fastest.  Timed best-of-5 per variant (tunnelled dispatch is noisy).
     best = float("inf")
-    for _ in range(5):
-        t0 = time.time()
+    for unroll in (1, 4):
+        replay = make_replay(unroll)
         stf, (poses, upd) = replay(state, radii[bootstrap:], valids[bootstrap:])
         jax.block_until_ready(stf)
-        best = min(best, time.time() - t0)
+        for _ in range(5):
+            t0 = time.time()
+            stf, (poses, upd) = replay(state, radii[bootstrap:],
+                                       valids[bootstrap:])
+            jax.block_until_ready(stf)
+            best = min(best, time.time() - t0)
 
     scans_per_sec = n_scans / best
     err = np.asarray(poses) - traj[bootstrap:]

@@ -20,6 +20,38 @@ from dataclasses import dataclass, field
 from typing import List, Optional
 
 
+class device_trace:
+    """Context manager around jax.profiler.trace — per-stage device profiling
+    (the deep version of the reference's stopwatch EMAs, SURVEY.md §5.1).
+
+    Usage: ``with device_trace('/tmp/trace'): run_replay()`` then inspect with
+    TensorBoard / xprof.  No-op (with a warning swallowed) if profiling is
+    unavailable on the backend.
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self._active = False
+
+    def __enter__(self):
+        import jax
+        try:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        except Exception:
+            pass
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            import jax
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+        return False
+
+
 class EmaTimer:
     """4-tap EMA in milliseconds; ``update`` takes seconds."""
 

@@ -57,26 +57,19 @@ def hessian_derivs(logodds_flat: jnp.ndarray, width: int, points: jnp.ndarray,
 
 def solve_gn_step(H: jnp.ndarray, dtr: jnp.ndarray,
                   deriv_clamp: float = 0.2) -> jnp.ndarray:
-    """Guarded symmetric 3x3 solve, rotation step clamped; zero step on failure."""
-    a, b, c = H[0, 0], H[0, 1], H[0, 2]
-    d, e = H[1, 1], H[1, 2]
-    f = H[2, 2]
-    # adjugate of the symmetric matrix [[a,b,c],[b,d,e],[c,e,f]]
-    A = d * f - e * e
-    B = c * e - b * f
-    C = b * e - c * d
-    D = a * f - c * c
-    E = b * c - a * e
-    F = a * d - b * b
-    det = a * A + b * B + c * C
+    """Guarded symmetric 3x3 solve, rotation step clamped; zero step on failure.
 
-    ok = (a != 0.0) & (d != 0.0) & (det != 0.0) & jnp.isfinite(det)
+    Vectorized via cross-products (adj(H) rows are cross products of H's rows):
+    ~8 tensor ops instead of ~25 scalar ops — measurable in the per-iteration
+    budget when XLA schedules ops individually (docs/PERF.md).
+    """
+    adj = jnp.stack([jnp.cross(H[1], H[2]), jnp.cross(H[2], H[0]),
+                     jnp.cross(H[0], H[1])])
+    det = jnp.dot(H[0], adj[0])
+    ok = (H[0, 0] != 0.0) & (H[1, 1] != 0.0) & (det != 0.0) & jnp.isfinite(det)
     inv_det = jnp.where(ok, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
-    sx = (A * dtr[0] + B * dtr[1] + C * dtr[2]) * inv_det
-    sy = (B * dtr[0] + D * dtr[1] + E * dtr[2]) * inv_det
-    sz = (C * dtr[0] + E * dtr[1] + F * dtr[2]) * inv_det
-    sz = jnp.clip(sz, -deriv_clamp, deriv_clamp)
-    step = jnp.stack([sx, sy, sz])
+    step = (adj @ dtr) * inv_det           # adj is symmetric => adj == adj^T
+    step = step.at[2].set(jnp.clip(step[2], -deriv_clamp, deriv_clamp))
     return jnp.where(ok, step, jnp.zeros(3))
 
 
@@ -128,9 +121,9 @@ def fused_gn_iteration(table: jnp.ndarray, offset: int, width: int,
     gy = jnp.where(ok, gy, z)
     fun = jnp.where(ok, 1.0 - val, z)
     rot = (-sr * X - cr * Y) * gx + (cr * X - sr * Y) * gy
-    P = jnp.stack([gx * fun, gy * fun, rot * fun, gx * gx, gy * gy, rot * rot,
-                   gx * gy, gx * rot, gy * rot])
-    s = jnp.sum(P, axis=1)
-    dtr = s[:3]
-    H = jnp.array([[s[3], s[6], s[7]], [s[6], s[4], s[8]], [s[7], s[8], s[5]]])
+    # H = u u^T and dTr = u . fun as two small matmuls (u rows are already
+    # zeroed outside bounds, so masking is inherited)
+    u = jnp.stack([gx, gy, rot])
+    H = jnp.dot(u, u.T, preferred_element_type=jnp.float32)
+    dtr = jnp.dot(u, fun, preferred_element_type=jnp.float32)
     return pose_px + solve_gn_step(H, dtr, deriv_clamp)

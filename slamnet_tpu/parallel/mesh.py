@@ -36,6 +36,32 @@ def make_mesh(axes: Mapping[str, int], devices: Sequence | None = None) -> Mesh:
     return Mesh(dev_mesh, names)
 
 
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Multi-host bring-up: jax.distributed.initialize with env fallbacks.
+
+    On a pod slice each host calls this before any jax op; afterwards
+    jax.devices() spans the slice and make_mesh() lays axes over ICI/DCN.
+    Args default to the JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID environment (or cloud auto-detection when all None).
+    Single-host CI exercises the same mesh code via
+    xla_force_host_platform_device_count (tests/conftest.py).
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def host_local_scans_to_global(mesh: Mesh, local_batch, axis: str):
+    """Per-host scan feeding over DCN: assemble a global array whose `axis`
+    dimension is sharded across processes from each host's local batch
+    (SURVEY.md §5.8 P6 — the scan-ingestion handoff at pod scale)."""
+    from jax.sharding import PartitionSpec
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, PartitionSpec(axis)), local_batch)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
