@@ -52,6 +52,16 @@ class CoreSlamConfig(_Overlayable):
     position_search_beginning: int = 5  # first N scans trust odometry (:90)
     unmapped_obstacle_hits: int = -5    # obstacle map init (:96)
     max_obstacle_hits: int = 10         # obstacle hit cap (:101)
+    dense_hole_fill: bool = False
+    # False (default): reference-parity per-beam V-profile ray draw
+    # (ops/holemap.update_hole_map).  True: scatter-free dense polar fill
+    # (update_hole_map_dense) — order-of-magnitude faster on TPU (XLA scatter
+    # serializes), denser evidence between beams; documented divergence.
+    dense_obstacle_fill: bool = False
+    # Same trade for the obstacle map (ops/obstacle.update_obstacle_map_dense).
+    angle_bins: int = 256
+    # Polar sectors for the dense fills; must stay <= beam count so every
+    # sector is covered by at least one beam.
 
     @property
     def hole_scale(self) -> float:

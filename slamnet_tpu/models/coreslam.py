@@ -90,12 +90,24 @@ def _update_cloud(state: CoreSlamState, cloud: Scan, odo: jnp.ndarray,
     new_pose, best_sum = jax.lax.cond(warm, do_search, no_search, None)
     new_pose = new_pose.at[2].set(normalize_angle(new_pose[2]))
 
-    hole = holemap.update_hole_map(
-        state.hole_map, cfg.hole_map_size, cfg.hole_scale,
-        cloud.points, cloud.valid, new_pose, cfg.hole_width, cfg.quality)
-    obst = obstacle.update_obstacle_map(
-        state.obstacle_map, cfg.obstacle_map_size, cfg.obstacle_scale,
-        cloud.points, cloud.valid, new_pose, cfg.max_obstacle_hits)
+    if cfg.dense_hole_fill:
+        hole = holemap.update_hole_map_dense(
+            state.hole_map, cfg.hole_map_size, cfg.hole_scale,
+            cloud.points, cloud.valid, new_pose, cfg.hole_width, cfg.quality,
+            cfg.angle_bins)
+    else:
+        hole = holemap.update_hole_map(
+            state.hole_map, cfg.hole_map_size, cfg.hole_scale,
+            cloud.points, cloud.valid, new_pose, cfg.hole_width, cfg.quality)
+    if cfg.dense_obstacle_fill:
+        obst = obstacle.update_obstacle_map_dense(
+            state.obstacle_map, cfg.obstacle_map_size, cfg.obstacle_scale,
+            cloud.points, cloud.valid, new_pose, cfg.max_obstacle_hits,
+            cfg.angle_bins)
+    else:
+        obst = obstacle.update_obstacle_map(
+            state.obstacle_map, cfg.obstacle_map_size, cfg.obstacle_scale,
+            cloud.points, cloud.valid, new_pose, cfg.max_obstacle_hits)
 
     new_state = CoreSlamState(
         hole_map=hole,

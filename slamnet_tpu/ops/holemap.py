@@ -24,6 +24,7 @@ mode is provided for parity testing.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.geometry import csharp_trunc
@@ -82,6 +83,81 @@ def update_hole_map(hole_map_flat: jnp.ndarray, size: int, scale: float,
     old = hole_map_flat.astype(jnp.float32)
     blended = jnp.floor(decay * (old - vbar) + vbar).astype(jnp.int32)
     new = jnp.where(visits > 0, blended, hole_map_flat)
+    return jnp.where(robot_in, new, hole_map_flat)
+
+
+def update_hole_map_dense(hole_map_flat: jnp.ndarray, size: int, scale: float,
+                          points: jnp.ndarray, valid: jnp.ndarray,
+                          pose: jnp.ndarray, hole_width: float, quality: int,
+                          angle_bins: int = 256) -> jnp.ndarray:
+    """Scatter-free hole-map update: the V-profile as a dense polar field.
+
+    XLA TPU scatter serializes per index (~27M updates/s measured), and the line
+    formulation above scatters ~2 x beams x size elements per scan — several ms,
+    the CoreSLAM pipeline bottleneck (docs/PERF.md).  The swept region of one
+    scan is star-shaped around the robot and the reference's V-profile value at
+    a cell is (in radial terms) a pure function of (cell range - beam range):
+
+        v(r) = NO_OBSTACLE                                   r <= r_hit - hw/2
+               ramp down to `TS_OBSTACLE` at r_hit           |r - r_hit| < hw/2
+               ramp back up to NO_OBSTACLE at r_hit + hw/2   (the extended end,
+                                                              UpdateHoleMap's
+                                                              `add`, :524-530)
+
+    so instead of rasterizing beam lines we (1) scatter the B beam ranges into an
+    `angle_bins` polar min-range table (a B-point scatter — cheap) and (2) blend
+    EVERY cell against its sector's profile — pure dense VPU work.
+
+    SEMANTIC DIFFERENCES vs the line mode (documented, opt-in via
+    CoreSlamConfig.dense_hole_fill): cells BETWEEN diverging beams also receive
+    evidence (denser free-space/hole coverage); each cell blends at most once
+    per scan (the line mode re-blends cells near the robot once per beam); the
+    profile value is the exact linear ramp rather than the reference's integer
+    staircase (<= 1 gray-level difference on-ray).  Matching quality is equal or
+    better; parity tests use the line mode.
+    """
+    px = pose[0] * scale + 0.5
+    py = pose[1] * scale + 0.5
+    c = jnp.cos(pose[2]) * scale
+    s = jnp.sin(pose[2]) * scale
+    x1 = csharp_trunc(px)
+    y1 = csharp_trunc(py)
+    robot_in = (x1 >= 0) & (x1 < size) & (y1 >= 0) & (y1 < size)
+
+    x2p = c * points[:, 0] - s * points[:, 1]
+    y2p = s * points[:, 0] + c * points[:, 1]
+    dist = jnp.sqrt(x2p * x2p + y2p * y2p)          # beam range, pixels
+    beam_ok = valid & (dist > 1e-6)
+    hw2 = hole_width * scale / 2.0                  # radial hole half-width, px
+
+    # polar min-range table (conservative: nearest obstacle wins the sector)
+    ang = jnp.arctan2(y2p, x2p)
+    bins = jnp.clip(((ang + jnp.pi) * (angle_bins / (2.0 * jnp.pi)))
+                    .astype(jnp.int32), 0, angle_bins - 1)
+    big = jnp.float32(1e9)
+    table = jnp.full(angle_bins, big, jnp.float32).at[
+        jnp.where(beam_ok, bins, 0)].min(jnp.where(beam_ok, dist, big))
+    has_beam = table < big
+
+    # dense per-cell pass (cell centers at +0.5 in continuous pixel space)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    dx = xx.astype(jnp.float32) + 0.5 - px
+    dy = yy.astype(jnp.float32) + 0.5 - py
+    r_c = jnp.sqrt(dx * dx + dy * dy)
+    cbin = jnp.clip(((jnp.arctan2(dy, dx) + jnp.pi)
+                     * (angle_bins / (2.0 * jnp.pi))).astype(jnp.int32),
+                    0, angle_bins - 1)
+    r_m = jnp.take(table, cbin)
+    covered = jnp.take(has_beam, cbin) & (r_c < r_m + hw2)
+
+    # V-profile value at radial distance r_c
+    ramp = jnp.clip(1.0 - jnp.abs(r_c - r_m) / jnp.maximum(hw2, 1e-6), 0.0, 1.0)
+    v = TS_NO_OBSTACLE + (TS_OBSTACLE - TS_NO_OBSTACLE) * ramp
+
+    old = hole_map_flat.reshape(size, size)
+    blended = ((256 - quality) * old + quality * v.astype(jnp.int32)) // 256
+    new = jnp.where(covered, blended, old).reshape(-1)
     return jnp.where(robot_in, new, hole_map_flat)
 
 

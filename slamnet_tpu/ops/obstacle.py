@@ -19,6 +19,7 @@ which reproduces the reference's semantics bit-for-bit for any beam order
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.geometry import csharp_trunc
@@ -69,6 +70,74 @@ def update_obstacle_map(obstacle_map: jnp.ndarray, size: int, scale: float,
     # decay sweep (:576-592): marked cells step toward zero
     t = traversed > 0
     v2 = jnp.where(t & (v1 < 0), v1 + 1, jnp.where(t & (v1 > 0), v1 - 1, v1))
+
+    new = v2.astype(jnp.int8).reshape(size, size)
+    return jnp.where(robot_in, new, obstacle_map)
+
+
+def update_obstacle_map_dense(obstacle_map: jnp.ndarray, size: int,
+                              scale: float, points: jnp.ndarray,
+                              valid: jnp.ndarray, pose: jnp.ndarray,
+                              max_hits: int,
+                              angle_bins: int = 256) -> jnp.ndarray:
+    """Scatter-free obstacle update: the traversed (no-hit) region as a dense
+    polar fill; endpoint hits stay an exact B-point scatter (cheap).
+
+    Same rationale and caveat as ops/holemap.update_hole_map_dense /
+    ops/logodds.update_occupancy_dense: the line mode scatters ~beams x 2 x size
+    elements per scan (serialized by XLA TPU); the swept free region is
+    star-shaped, so cells strictly nearer than their sector's shortest beam
+    decay toward zero — marking the whole swept polygon instead of only the
+    Bresenham lines (documented divergence, opt-in via
+    CoreSlamConfig.dense_obstacle_fill).  Hit counting and the cap semantics
+    are identical to update_obstacle_map.
+    """
+    px = pose[0] * scale + 0.5
+    py = pose[1] * scale + 0.5
+    c = jnp.cos(pose[2]) * scale
+    s = jnp.sin(pose[2]) * scale
+    x1 = csharp_trunc(px)
+    y1 = csharp_trunc(py)
+    robot_in = (x1 >= 0) & (x1 < size) & (y1 >= 0) & (y1 < size)
+
+    x2p = c * points[:, 0] - s * points[:, 1]
+    y2p = s * points[:, 0] + c * points[:, 1]
+    x2 = csharp_trunc(px + x2p)
+    y2 = csharp_trunc(py + y2p)
+    dist = jnp.sqrt(x2p * x2p + y2p * y2p)
+    beam_ok = valid & (dist > 1e-6)
+
+    # endpoint hits — exact (as in the line mode)
+    end_ok = (x2 >= 0) & (x2 < size) & (y2 >= 0) & (y2 < size) & valid
+    end_flat = y2 * size + x2
+    hit_cnt = jnp.zeros(size * size, jnp.int32).at[
+        jnp.where(end_ok, end_flat, 0)].add(end_ok.astype(jnp.int32))
+
+    # polar min-range table for the no-hit region
+    ang = jnp.arctan2(y2p, x2p)
+    bins = jnp.clip(((ang + jnp.pi) * (angle_bins / (2.0 * jnp.pi)))
+                    .astype(jnp.int32), 0, angle_bins - 1)
+    big = jnp.float32(1e9)
+    table = jnp.full(angle_bins, big, jnp.float32).at[
+        jnp.where(beam_ok, bins, 0)].min(jnp.where(beam_ok, dist, big))
+    has_beam = table < big
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    dx = xx.astype(jnp.float32) + 0.5 - px
+    dy = yy.astype(jnp.float32) + 0.5 - py
+    r_c = jnp.sqrt(dx * dx + dy * dy)
+    cbin = jnp.clip(((jnp.arctan2(dy, dx) + jnp.pi)
+                     * (angle_bins / (2.0 * jnp.pi))).astype(jnp.int32),
+                    0, angle_bins - 1)
+    # strictly before the endpoint cell (the line mode's intermediate cells)
+    traversed = (jnp.take(has_beam, cbin)
+                 & (r_c < jnp.take(table, cbin) - 0.5)).reshape(-1)
+
+    v0 = obstacle_map.reshape(-1).astype(jnp.int32)
+    v1 = jnp.minimum(v0 + hit_cnt, jnp.maximum(v0, max_hits))
+    v2 = jnp.where(traversed & (v1 < 0), v1 + 1,
+                   jnp.where(traversed & (v1 > 0), v1 - 1, v1))
 
     new = v2.astype(jnp.int8).reshape(size, size)
     return jnp.where(robot_in, new, obstacle_map)
