@@ -105,29 +105,34 @@ def main():
 
     import dataclasses
 
-    # reference-exact fixed-iteration mode (the parity configuration)
-    t_fixed, (poses, upd) = measure(cfg)
-    # converged early-exit: extra fixed iterations are numeric no-ops; the ATE
-    # must match the fixed mode — this is the production configuration
-    t_ee, (poses_ee, upd_ee) = measure(
-        dataclasses.replace(cfg, early_exit_tol=1e-3))
-
     def ate_of(p):
         err = np.asarray(p) - traj[bootstrap:]
         pe = np.linalg.norm(err[:, :2], axis=1)
         return float(np.sqrt((pe ** 2).mean())), float(pe.max())
 
+    # reference-exact fixed-iteration mode (the parity configuration)
+    t_fixed, (poses, upd) = measure(cfg)
     ate_fixed, max_fixed = ate_of(poses)
-    ate_ee, max_ee = ate_of(poses_ee)
-    # only report the early-exit throughput if it holds the fixed-mode accuracy
-    use_ee = ate_ee <= ate_fixed * 1.2 + 1e-4
-    best = min(t_fixed, t_ee) if use_ee else t_fixed
+
+    # production candidates — each must hold the parity-mode accuracy:
+    #   EE: converged early-exit (extra fixed iterations are numeric no-ops)
+    #   EE+dense: + scatter-free dense polygon occupancy fill
+    best = t_fixed
+    ate, max_err, upd_best = ate_fixed, max_fixed, upd
+    for cand in (dataclasses.replace(cfg, early_exit_tol=1e-3),
+                 dataclasses.replace(cfg, early_exit_tol=1e-3,
+                                     dense_free_fill=True)):
+        t_c, (poses_c, upd_c) = measure(cand)
+        ate_c, max_c = ate_of(poses_c)
+        if ate_c <= ate_fixed * 1.2 + 1e-4 and t_c < best:
+            best, ate, max_err, upd_best = t_c, ate_c, max_c, upd_c
 
     scans_per_sec = n_scans / best
-    ate, max_err = (ate_ee, max_ee) if (use_ee and t_ee < t_fixed) \
-        else (ate_fixed, max_fixed)
-    pos_err = np.asarray([max_err])
-    upd = upd_ee if (use_ee and t_ee < t_fixed) else upd
+
+    # CoreSLAM pipeline (secondary metric): reference-parity MC search + line
+    # rasterization vs the TPU-native production mode (deterministic
+    # correlative grid search + dense polar map fills).
+    core = bench_coreslam(radii, valids, angles, traj, n_scans, bootstrap)
 
     print(json.dumps({
         "metric": "hector_3level_400x400_scans_per_sec_per_chip",
@@ -136,12 +141,62 @@ def main():
         "vs_baseline": round(scans_per_sec / 17.0, 2),
         "fixed_iter_scans_per_sec": round(n_scans / t_fixed, 1),
         "ate_m": round(ate, 4),
-        "max_err_m": round(float(pos_err.max()), 4),
-        "map_updates": int(np.asarray(upd).sum()),
+        "max_err_m": round(float(max_err), 4),
+        "map_updates": int(np.asarray(upd_best).sum()),
         "n_scans": n_scans,
         "device": str(jax.devices()[0]),
+        **core,
     }))
     return 0
+
+
+def bench_coreslam(radii, valids, angles, traj, n_scans, bootstrap):
+    """CoreSLAM replay throughput/ATE: parity mode vs correlative+dense mode."""
+    import dataclasses
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from slamnet_tpu.core import CoreSlamConfig
+    from slamnet_tpu.core.scan import Scan
+    from slamnet_tpu.models import coreslam
+
+    def run(cfg):
+        state = coreslam.init(cfg, traj[0], key=jax.random.PRNGKey(1))
+
+        @jax.jit
+        def replay(state, radii, valids):
+            def body(st, inp):
+                r, v = inp
+                pts = jnp.stack([r * jnp.cos(angles), r * jnp.sin(angles)], -1)
+                st, _ = coreslam.update_cloud(
+                    st, Scan(pts, v, jnp.zeros(3, jnp.float32)), st.pose, cfg)
+                return st, st.pose
+            return jax.lax.scan(body, state, (radii, valids))
+
+        stf, poses = replay(state, radii, valids)
+        jax.block_until_ready(stf)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            stf, poses = replay(state, radii, valids)
+            jax.block_until_ready(stf)
+            best = min(best, time.time() - t0)
+        err = np.asarray(poses) - traj[: n_scans + bootstrap]
+        pe = np.linalg.norm(err[:, :2], axis=1)
+        return ((n_scans + bootstrap) / best,
+                float(np.sqrt((pe ** 2).mean())))
+
+    prod = dataclasses.replace(CoreSlamConfig(), search_mode="correlative",
+                               dense_hole_fill=True, dense_obstacle_fill=True)
+    rate_prod, ate_prod = run(prod)
+    rate_par, ate_par = run(CoreSlamConfig(num_candidates=4096))
+    return {
+        "coreslam_scans_per_sec": round(rate_prod, 1),
+        "coreslam_ate_m": round(ate_prod, 4),
+        "coreslam_parity_scans_per_sec": round(rate_par, 1),
+        "coreslam_parity_ate_m": round(ate_par, 4),
+    }
 
 
 if __name__ == "__main__":

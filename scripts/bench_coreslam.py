@@ -74,10 +74,12 @@ def measure(cfg, label):
 
 
 base = CoreSlamConfig(num_candidates=4096)
+dense = dataclasses.replace(base, dense_hole_fill=True,
+                            dense_obstacle_fill=True)
+measure(dataclasses.replace(dense, search_mode="correlative"),
+        "dense + correlative (32x8x8)")
+measure(dataclasses.replace(dense, search_mode="correlative",
+                            corr_num_theta=16, corr_window=6),
+        "dense + correlative (16x6x6)")
+measure(dataclasses.replace(dense, num_candidates=1024), "dense + mc1024")
 measure(base, "line-scatter (parity, 4096)")
-measure(dataclasses.replace(base, dense_hole_fill=True,
-                            dense_obstacle_fill=True),
-        "dense polar (4096)")
-measure(dataclasses.replace(base, dense_hole_fill=True,
-                            dense_obstacle_fill=True, num_candidates=1024),
-        "dense polar (1024)")

@@ -52,6 +52,16 @@ class CoreSlamConfig(_Overlayable):
     position_search_beginning: int = 5  # first N scans trust odometry (:90)
     unmapped_obstacle_hits: int = -5    # obstacle map init (:96)
     max_obstacle_hits: int = 10         # obstacle hit cap (:101)
+    search_mode: str = "mc"
+    # "mc" (default): the reference's Monte-Carlo candidate sampling
+    # (ops/score.monte_carlo_search).  "correlative": deterministic dense
+    # grid search over (theta bins x WxW pixel shifts) with sub-pixel
+    # quadratic refinement (ops/correlate.correlative_search) — same score
+    # function, full coverage of the search region, no RNG.
+    corr_window: int = 8        # pixel-shift window (W x W, centered)
+    corr_num_theta: int = 32    # theta bins across +/- corr_theta_span
+    corr_theta_span: float = 0.0
+    # radians; 0.0 means "3 * sigma_theta" (match the MC mode's 3-sigma reach)
     dense_hole_fill: bool = False
     # False (default): reference-parity per-beam V-profile ray draw
     # (ops/holemap.update_hole_map).  True: scatter-free dense polar fill

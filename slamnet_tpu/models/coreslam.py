@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..core.config import CoreSlamConfig
 from ..core.geometry import normalize_angle
 from ..core.scan import Scan, SegmentScan, segments_to_cloud
-from ..ops import holemap, obstacle, score
+from ..ops import correlate, holemap, obstacle, score
 
 HOLE_INIT = (holemap.TS_OBSTACLE + holemap.TS_NO_OBSTACLE) // 2  # 32750 (:169)
 
@@ -78,10 +78,17 @@ def _update_cloud(state: CoreSlamState, cloud: Scan, odo: jnp.ndarray,
     warm = state.scan_count >= cfg.position_search_beginning
 
     def do_search(_):
-        best, best_sum = score.monte_carlo_search(
-            state.hole_map, cfg.hole_map_size, cfg.hole_scale,
-            cloud.points, cloud.valid, search_pose,
-            cfg.sigma_xy, cfg.sigma_theta, cfg.num_candidates, sub)
+        if cfg.search_mode == "correlative":
+            span = cfg.corr_theta_span or 3.0 * cfg.sigma_theta
+            best, best_sum = correlate.correlative_search(
+                state.hole_map, cfg.hole_map_size, cfg.hole_scale,
+                cloud.points, cloud.valid, search_pose,
+                cfg.corr_window, cfg.corr_num_theta, span)
+        else:
+            best, best_sum = score.monte_carlo_search(
+                state.hole_map, cfg.hole_map_size, cfg.hole_scale,
+                cloud.points, cloud.valid, search_pose,
+                cfg.sigma_xy, cfg.sigma_theta, cfg.num_candidates, sub)
         return best, best_sum
 
     def no_search(_):

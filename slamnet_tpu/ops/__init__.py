@@ -1,4 +1,5 @@
-from . import bilinear, gn, holemap, logodds, obstacle, rasterize, score
+from . import (bilinear, correlate, gn, holemap, logodds, obstacle, rasterize,
+               score)
 
 __all__ = ["bilinear", "gn", "holemap", "logodds", "obstacle", "rasterize",
            "score"]

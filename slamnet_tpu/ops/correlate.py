@@ -1,0 +1,153 @@
+"""Correlative candidate search — the deterministic TPU-native CoreSLAM matcher.
+
+The reference's Monte-Carlo search (CoreSLAMProcessor.cs:624-653) samples
+continuous (x, y, theta) perturbations, but CalculateDistance snaps candidates to
+integer hole-map pixels (:232-241) — every candidate inside the same pixel scores
+identically, so continuous XY sampling spends most of its budget re-scoring
+duplicates.  This module scores the ENTIRE reachable pixel neighborhood instead:
+
+    score(theta_k, dy, dx) = sum_p H[yb_kp + dy, xb_kp + dx]
+
+for K theta bins x a WxW window of integer pixel shifts — dense deterministic
+coverage of the same search region (a 2D-lidar analogue of Olson's correlative
+scan matching, reframed for the MXU):
+
+  1. per theta bin, snap the rotated cloud once and scatter point COUNTS into a
+     zero-padded count grid (K*N updates — the only scatter, ~1% of the budget);
+  2. materialize the W*W shifted copies of the (zero-padded) hole map;
+  3. scores = counts @ shifted_maps^T — one MXU matmul.  The map is split into
+     hi/lo 8-bit planes so the f32 matmul is integer-EXACT (sums reach 26-bit).
+
+Zero padding reproduces the reference's out-of-bounds semantics exactly: an OOB
+point contributes 0 to the sum and 0 to the in-bounds count (the reference skips
+it, CoreSLAMProcessor.cs:251-254); all-OOB candidates score int-max (:256-258).
+
+After the integer argmin, a clamped 1D quadratic fit along each axis recovers the
+sub-pixel/sub-bin optimum — the MC mode's continuous samples resolve this
+stochastically; the fit does it deterministically.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import csharp_trunc
+
+INT32_MAX = jnp.int32(2**31 - 1)
+
+
+def correlative_scores(hole_map_flat: jnp.ndarray, size: int, scale: float,
+                       points: jnp.ndarray, valid: jnp.ndarray,
+                       search_pose: jnp.ndarray, thetas: jnp.ndarray,
+                       window: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Raw score grid: (sums i32[K, W, W], nb i32[K, W, W]).
+
+    Shift (dy, dx) indexes pixel offsets dy - W//2, dx - W//2 relative to the
+    snapped base coordinates at `search_pose` xy; `thetas` f32[K] are absolute
+    headings.  Exact vs score_candidates for interior points (the pixel snap of
+    a shifted candidate equals base snap + shift except across the truncation
+    discontinuity at negative coords — outside the map anyway).
+    """
+    K = thetas.shape[0]
+    N = points.shape[0]
+    R = window // 2
+    spad = size + 2 * R
+
+    px = search_pose[0] * scale + 0.5
+    py = search_pose[1] * scale + 0.5
+    c = (jnp.cos(thetas) * scale)[:, None]
+    s = (jnp.sin(thetas) * scale)[:, None]
+    X = points[:, 0][None, :]
+    Y = points[:, 1][None, :]
+    xb = csharp_trunc(px + c * X - s * Y)          # [K, N]
+    yb = csharp_trunc(py + s * X + c * Y)
+
+    # count grids over the padded index range [-R, size + R)
+    ok = (valid[None, :] & (xb >= -R) & (xb < size + R)
+          & (yb >= -R) & (yb < size + R))
+    flat = (yb + R) * spad + (xb + R)
+    lin = jnp.arange(K, dtype=jnp.int32)[:, None] * (spad * spad) + flat
+    cnt = jnp.zeros((K * spad * spad,), jnp.float32).at[
+        jnp.where(ok, lin, 0).reshape(-1)].add(
+        ok.reshape(-1).astype(jnp.float32)).reshape(K, spad * spad)
+
+    # shifted hole-map copies from the doubly-padded plane (zeros outside)
+    q = jnp.zeros((size + 4 * R, size + 4 * R), jnp.int32)
+    q = jax.lax.dynamic_update_slice(q, hole_map_flat.reshape(size, size),
+                                     (2 * R, 2 * R))
+    ones = jnp.zeros((size + 4 * R, size + 4 * R), jnp.float32)
+    ones = jax.lax.dynamic_update_slice(
+        ones, jnp.ones((size, size), jnp.float32), (2 * R, 2 * R))
+    shifts, masks = [], []
+    for dy in range(window):
+        for dx in range(window):
+            shifts.append(jax.lax.dynamic_slice(
+                q, (dy, dx), (spad, spad)).reshape(-1))
+            masks.append(jax.lax.dynamic_slice(
+                ones, (dy, dx), (spad, spad)).reshape(-1))
+    hs = jnp.stack(shifts)                          # i32 [W*W, spad*spad]
+    ms = jnp.stack(masks)                           # f32 [W*W, spad*spad]
+
+    # integer-exact f32 matmuls via 8-bit planes (hi*256 + lo; partial sums
+    # stay < 2^17 * N, well inside the f32 24-bit integer range)
+    hi = (hs >> 8).astype(jnp.float32)
+    lo = (hs & 0xFF).astype(jnp.float32)
+    sum_hi = jnp.dot(cnt, hi.T, preferred_element_type=jnp.float32)
+    sum_lo = jnp.dot(cnt, lo.T, preferred_element_type=jnp.float32)
+    sums = (256.0 * sum_hi + sum_lo).astype(jnp.int32)     # [K, W*W]
+    nb = jnp.dot(cnt, ms.T,
+                 preferred_element_type=jnp.float32).astype(jnp.int32)
+    return (sums.reshape(K, window, window), nb.reshape(K, window, window))
+
+
+def _quad_offset(fm, f0, fp):
+    """Sub-sample offset of the parabola through (-1, fm), (0, f0), (+1, fp);
+    0 when the fit is degenerate or non-convex, clamped to +/-0.5."""
+    d = fm - 2.0 * f0 + fp
+    off = jnp.where(d > 1e-6, 0.5 * (fm - fp) / jnp.where(d == 0, 1.0, d), 0.0)
+    return jnp.clip(off, -0.5, 0.5)
+
+
+def correlative_search(hole_map_flat: jnp.ndarray, size: int, scale: float,
+                       points: jnp.ndarray, valid: jnp.ndarray,
+                       search_pose: jnp.ndarray, window: int, num_theta: int,
+                       theta_span: float,
+                       subpixel: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Best (pose f32[3], sum i32) over the (theta, dy, dx) grid around
+    `search_pose` — drop-in for ops/score.monte_carlo_search (same contract:
+    lower sum is better, all-OOB candidates score int-max, first minimum wins).
+    """
+    R = window // 2
+    thetas = search_pose[2] + jnp.linspace(-theta_span, theta_span, num_theta)
+    sums, nb = correlative_scores(hole_map_flat, size, scale, points, valid,
+                                  search_pose, thetas, window)
+    eff = jnp.where(nb > 0, sums, INT32_MAX)
+    flat_idx = jnp.argmin(eff.reshape(-1))
+    k = flat_idx // (window * window)
+    rem = flat_idx % (window * window)
+    iy = rem // window
+    ix = rem % window
+
+    fy = iy.astype(jnp.float32)
+    fx = ix.astype(jnp.float32)
+    fk = k.astype(jnp.float32)
+    if subpixel:
+        e = eff.astype(jnp.float32)
+        K = num_theta
+
+        def at(kk, yy, xx):
+            return e[jnp.clip(kk, 0, K - 1), jnp.clip(yy, 0, window - 1),
+                     jnp.clip(xx, 0, window - 1)]
+
+        f0 = at(k, iy, ix)
+        fx = fx + _quad_offset(at(k, iy, ix - 1), f0, at(k, iy, ix + 1))
+        fy = fy + _quad_offset(at(k, iy - 1, ix), f0, at(k, iy + 1, ix))
+        fk = fk + _quad_offset(at(k - 1, iy, ix), f0, at(k + 1, iy, ix))
+
+    dtheta = 2.0 * theta_span / max(num_theta - 1, 1)
+    pose = jnp.stack([search_pose[0] + (fx - R) / scale,
+                      search_pose[1] + (fy - R) / scale,
+                      search_pose[2] - theta_span + fk * dtheta])
+    return pose, eff.reshape(-1)[flat_idx]
