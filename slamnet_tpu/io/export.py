@@ -65,3 +65,22 @@ def pose_to_bytes(pose) -> bytes:
 
 def pose_from_bytes(data: bytes, offset: int = 0) -> np.ndarray:
     return np.asarray(struct.unpack_from("<3f", data, offset), np.float32)
+
+
+def vec2_to_bytes(v) -> bytes:
+    """Vector2 -> 8 little-endian float bytes (VectorEx.GetBytes(Vector2),
+    BaseSLAM/VectorEx.cs:68-77)."""
+    p = np.asarray(v, np.float32)
+    return struct.pack("<2f", float(p[0]), float(p[1]))
+
+
+def vec2_from_bytes(data: bytes, offset: int = 0) -> np.ndarray:
+    """Bytes -> Vector2 (VectorEx.ToVector2, BaseSLAM/VectorEx.cs:85-90)."""
+    return np.asarray(struct.unpack_from("<2f", data, offset), np.float32)
+
+
+def pose_string(pose) -> str:
+    """Human pose formatter matching VectorEx.ToPoseString
+    (BaseSLAM/VectorEx.cs:194-197): "{x:f2}m x {y:f2}m @ {deg:f2}deg"."""
+    p = np.asarray(pose, np.float64)
+    return f"{p[0]:.2f}m x {p[1]:.2f}m @ {np.degrees(p[2]):.2f}\N{DEGREE SIGN}"

@@ -90,15 +90,19 @@ def correlative_scores(hole_map_flat: jnp.ndarray, size: int, scale: float,
     hs = jnp.stack(shifts)                          # i32 [W*W, spad*spad]
     ms = jnp.stack(masks)                           # f32 [W*W, spad*spad]
 
-    # integer-exact f32 matmuls via 8-bit planes (hi*256 + lo; partial sums
-    # stay < 2^17 * N, well inside the f32 24-bit integer range)
-    hi = (hs >> 8).astype(jnp.float32)
-    lo = (hs & 0xFF).astype(jnp.float32)
-    sum_hi = jnp.dot(cnt, hi.T, preferred_element_type=jnp.float32)
-    sum_lo = jnp.dot(cnt, lo.T, preferred_element_type=jnp.float32)
-    sums = (256.0 * sum_hi + sum_lo).astype(jnp.int32)     # [K, W*W]
-    nb = jnp.dot(cnt, ms.T,
-                 preferred_element_type=jnp.float32).astype(jnp.int32)
+    # integer-exact f32 matmul via 8-bit planes (hi*256 + lo; partial sums
+    # stay < 2^17 * N, well inside the f32 24-bit integer range).  The three
+    # score planes (hi, lo, in-bounds mask) are stacked into ONE [3*W*W, ...]
+    # operand so the MXU sees a single [K, spad^2] x [spad^2, 3*W*W] matmul:
+    # one pass over the big loop-variant operand instead of three, and an
+    # output width of 192 that fills the 128-lane tiles (vs 64).
+    w2 = window * window
+    big = jnp.concatenate([(hs >> 8).astype(jnp.float32),
+                           (hs & 0xFF).astype(jnp.float32),
+                           ms], axis=0)                    # [3*W*W, spad*spad]
+    out = jnp.dot(cnt, big.T, preferred_element_type=jnp.float32)  # [K, 3*W*W]
+    sums = (256.0 * out[:, :w2] + out[:, w2:2 * w2]).astype(jnp.int32)
+    nb = out[:, 2 * w2:].astype(jnp.int32)
     return (sums.reshape(K, window, window), nb.reshape(K, window, window))
 
 

@@ -57,6 +57,16 @@ def test_pose_codec_roundtrip():
     np.testing.assert_array_equal(export.pose_from_bytes(b), p)
 
 
+def test_vec2_codec_and_pose_string():
+    v = np.asarray([3.5, -0.75], np.float32)
+    b = export.vec2_to_bytes(v)
+    assert len(b) == 8
+    np.testing.assert_array_equal(export.vec2_from_bytes(b), v)
+    # VectorEx.ToPoseString format (BaseSLAM/VectorEx.cs:194-197)
+    s = export.pose_string([1.0, 2.0, np.pi / 2])
+    assert s == "1.00m x 2.00m @ 90.00\N{DEGREE SIGN}"
+
+
 def test_ema_timer_reference_formula():
     t = metrics.EmaTimer()
     t.update(0.004)      # 4 ms
