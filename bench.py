@@ -83,7 +83,8 @@ def main():
                 st, info = hector.update(st, make_cloud(r, v), st.match_pose,
                                          cfg_x,
                                          map_without_matching=jnp.asarray(False))
-                return st, (st.match_pose, info.map_updated)
+                return st, (st.match_pose, info.map_updated, info.residual,
+                            info.solve_failures)
             return jax.lax.scan(body, state, (radii, valids))
         return replay
 
@@ -111,21 +112,30 @@ def main():
         return float(np.sqrt((pe ** 2).mean())), float(pe.max())
 
     # reference-exact fixed-iteration mode (the parity configuration)
-    t_fixed, (poses, upd) = measure(cfg)
+    t_fixed, (poses, upd, resid_f, fails_f) = measure(cfg)
     ate_fixed, max_fixed = ate_of(poses)
+    modes = {"fixed": {"scans_per_sec": round(n_scans / t_fixed, 1),
+                       "ate_m": round(ate_fixed, 4)}}
 
-    # production candidates — each must hold the parity-mode accuracy:
+    # production candidates — each must hold the parity-mode accuracy
+    # (gate is <= parity ATE: a fast mode may NOT trade accuracy for the
+    # headline; the 1e-4 slack only absorbs float noise):
     #   EE: converged early-exit (extra fixed iterations are numeric no-ops)
     #   EE+dense: + scatter-free dense polygon occupancy fill
     best = t_fixed
     ate, max_err, upd_best = ate_fixed, max_fixed, upd
-    for cand in (dataclasses.replace(cfg, early_exit_tol=1e-3),
-                 dataclasses.replace(cfg, early_exit_tol=1e-3,
-                                     dense_free_fill=True)):
-        t_c, (poses_c, upd_c) = measure(cand)
+    resid_best, fails_best = resid_f, fails_f
+    for name, cand in (("early_exit", dataclasses.replace(cfg, early_exit_tol=1e-3)),
+                       ("early_exit_dense",
+                        dataclasses.replace(cfg, early_exit_tol=1e-3,
+                                            dense_free_fill=True))):
+        t_c, (poses_c, upd_c, resid_c, fails_c) = measure(cand)
         ate_c, max_c = ate_of(poses_c)
-        if ate_c <= ate_fixed * 1.2 + 1e-4 and t_c < best:
+        modes[name] = {"scans_per_sec": round(n_scans / t_c, 1),
+                       "ate_m": round(ate_c, 4)}
+        if ate_c <= ate_fixed + 1e-4 and t_c < best:
             best, ate, max_err, upd_best = t_c, ate_c, max_c, upd_c
+            resid_best, fails_best = resid_c, fails_c
 
     scans_per_sec = n_scans / best
 
@@ -143,6 +153,9 @@ def main():
         "ate_m": round(ate, 4),
         "max_err_m": round(float(max_err), 4),
         "map_updates": int(np.asarray(upd_best).sum()),
+        "gn_residual_mean": round(float(np.asarray(resid_best).mean()), 6),
+        "solve_failures": int(np.asarray(fails_best).sum()),
+        "hector_modes": modes,
         "n_scans": n_scans,
         "device": str(jax.devices()[0]),
         **core,

@@ -13,6 +13,7 @@ replay/fleet/sharded workloads.
 from __future__ import annotations
 
 import math
+import time as time_module
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -58,6 +59,60 @@ class CoreSLAMProcessor:
         """CoreSLAMProcessor.Update (:717-752); segments as a SegmentScan."""
         self.state, _ = self._step(self.state, segments)
 
+    def Dispose(self) -> None:
+        """IDisposable parity (CoreSLAMProcessor.cs:767-773).  The reference
+        throws when constructed with numSearchThreads <= 0 (documented quirk,
+        SURVEY.md §2.2) — knowingly fixed: always safe here."""
+        self.state = None
+
+    def _set_cfg(self, **kw):
+        """Mutable-property parity (CoreSLAMProcessor.cs:80-101): knobs are
+        trace-time constants, so a property write re-specializes the step."""
+        import dataclasses
+        self.cfg = dataclasses.replace(self.cfg, **kw)
+        cfg = self.cfg
+        self._step = jax.jit(lambda st, seg: coreslam.update(st, seg, cfg))
+
+    @property
+    def Quality(self) -> int:
+        return self.cfg.quality
+
+    @Quality.setter
+    def Quality(self, v: int) -> None:
+        self._set_cfg(quality=int(v))
+
+    @property
+    def HoleWidth(self) -> float:
+        return self.cfg.hole_width
+
+    @HoleWidth.setter
+    def HoleWidth(self, v: float) -> None:
+        self._set_cfg(hole_width=float(v))
+
+    @property
+    def PositionSearchBeginning(self) -> int:
+        return self.cfg.position_search_beginning
+
+    @PositionSearchBeginning.setter
+    def PositionSearchBeginning(self, v: int) -> None:
+        self._set_cfg(position_search_beginning=int(v))
+
+    @property
+    def UnmappedObstacleHits(self) -> int:
+        return self.cfg.unmapped_obstacle_hits
+
+    @UnmappedObstacleHits.setter
+    def UnmappedObstacleHits(self, v: int) -> None:
+        self._set_cfg(unmapped_obstacle_hits=int(v))
+
+    @property
+    def MaxObstacleHits(self) -> int:
+        return self.cfg.max_obstacle_hits
+
+    @MaxObstacleHits.setter
+    def MaxObstacleHits(self, v: int) -> None:
+        self._set_cfg(max_obstacle_hits=int(v))
+
     @property
     def Pose(self) -> np.ndarray:
         return np.asarray(self.state.pose)
@@ -101,18 +156,50 @@ class HectorSLAMProcessor:
     def Reset(self) -> None:
         self.state = hector.init(self.cfg, self._start_pose)
 
+    def Dispose(self) -> None:
+        self.state = None
+
+    def _set_cfg(self, **kw):
+        import dataclasses
+        self.cfg = dataclasses.replace(self.cfg, **kw)
+        cfg = self.cfg
+        self._step = jax.jit(
+            lambda st, scan, force: hector.update(
+                st, scan, st.match_pose, cfg, map_without_matching=force))
+
+    def SetUpdateFactorFree(self, v: float) -> None:
+        """MapRepMultiMap.SetUpdateFactorFree broadcast (MapRepMultiMap.cs:83-88)."""
+        self._set_cfg(update_factor_free=float(v))
+
+    def SetUpdateFactorOccupied(self, v: float) -> None:
+        """MapRepMultiMap.SetUpdateFactorOccupied (MapRepMultiMap.cs:90-95)."""
+        self._set_cfg(update_factor_occupied=float(v))
+
     def Update(self, scan: Scan, pose_hint_world=None,
                map_without_matching: bool = False) -> bool:
-        """HectorSLAMProcessor.Update (:86-126); returns map-updated flag."""
-        with self.MatchTiming.time():
+        """HectorSLAMProcessor.Update (:86-126); returns map-updated flag.
+
+        The reference times match and map-update separately (:92-96, :111-115);
+        here both run in ONE fused device step, so MatchTiming tracks the full
+        step and UpdateTiming tracks the steps where a map update actually
+        fired (documented approximation of the split)."""
+        with self.MatchTiming.time() as t:
             if pose_hint_world is not None:
                 self.state = self.state._replace(
                     match_pose=jnp.asarray(pose_hint_world, jnp.float32))
             self.state, info = self._step(self.state, scan,
                                           jnp.asarray(map_without_matching))
             updated = bool(info.map_updated)
-        if updated and self.logger is not None:
-            self.logger.log(f"Map update at {self.MatchPose}")
+        if updated:
+            self.UpdateTiming.update(time_module.perf_counter() - t.t0)
+        if self.logger is not None:
+            # parity with the reference's ILogger surface (ScanMatcher.cs:99-115)
+            fails = int(info.solve_failures)
+            if fails:
+                self.logger.log(f"H is not invertible ({fails} GN steps)",
+                                level="Information")
+            if updated:
+                self.logger.log(f"Map update at {self.MatchPose}")
         return updated
 
     @property

@@ -193,6 +193,16 @@ class PoseGraphConfig(_Overlayable):
     loop_closure_radius: float = 2.0    # candidate search radius, meters
     gn_iterations: int = 10
     damping: float = 1e-6
+    # loop-closure acceptance (rejects aliased/false candidates): the matcher
+    # must stay near its initialization AND land its points on occupied cells
+    loop_max_translation: float = 1.0   # meters matcher may move from init
+    loop_min_inlier_frac: float = 0.4   # fraction of points on occupied cells
+    odom_edge_weights: Tuple[float, float, float] = (50.0, 50.0, 200.0)
+    loop_edge_weights: Tuple[float, float, float] = (100.0, 100.0, 400.0)
+    # robust IRLS weighting in the GN normal equations: 0 = off; > 0 = the
+    # whitened-residual scale of the redescending DCS kernel (posegraph.
+    # robust_scale) — a surviving false loop loses its influence entirely
+    huber_delta: float = 0.0
 
 
 @dataclass(frozen=True)

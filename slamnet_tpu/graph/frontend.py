@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..core.geometry import normalize_angle, pose_between
 from ..core.scan import Scan
-from ..ops import gn, logodds
+from ..ops import bilinear, gn, logodds
 
 
 class ScanMatchConfig(NamedTuple):
@@ -25,6 +25,21 @@ class ScanMatchConfig(NamedTuple):
     gn_iterations: int = 20
     log_odds_free: float = -0.40546511
     log_odds_occupied: float = 2.19722458
+    inlier_prob: float = 0.6    # a query point "hits" if M(p) > this
+
+
+class MatchQuality(NamedTuple):
+    """Acceptance evidence for a scan-to-scan match.
+
+    residual: mean (1 - M(p))^2 over in-bounds valid query points — near 0 for
+    a locked match, ~0.25 when points fall on UNVISITED cells (sigmoid(0)=0.5),
+    which is the perceptual-aliasing signature a gradient-based proxy misses.
+    inlier_frac: fraction of valid query points landing on occupied map cells
+    (M > inlier_prob) — the primary accept/reject signal.
+    """
+
+    residual: jnp.ndarray
+    inlier_frac: jnp.ndarray
 
 
 def rasterize_scan(scan: Scan, cfg: ScanMatchConfig) -> jnp.ndarray:
@@ -38,12 +53,17 @@ def rasterize_scan(scan: Scan, cfg: ScanMatchConfig) -> jnp.ndarray:
 
 
 def match_scans(scan_ref: Scan, scan_qry: Scan, init_rel,
-                cfg: ScanMatchConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                cfg: ScanMatchConfig) -> Tuple[jnp.ndarray, MatchQuality]:
     """Relative pose of scan_qry's robot in scan_ref's frame.
 
     Rasterizes scan_ref at the center of a local grid, then GN-matches scan_qry
     starting from `init_rel` (e.g. the odometry delta or the pose-graph guess).
-    Returns (rel_pose f32[3], residual f32 — mean 1-p at the matched pose).
+    Returns (rel_pose f32[3], MatchQuality).
+
+    The quality metrics are OCCUPANCY-based, not gradient-based: a match
+    against an unrelated place converges with near-zero gradients (nothing to
+    pull on), so |dTr| cannot reject aliasing; the fraction of query points
+    actually landing on occupied cells can.
     """
     s = cfg.grid_size
     scale = 1.0 / cfg.resolution
@@ -61,12 +81,19 @@ def match_scans(scan_ref: Scan, scan_qry: Scan, init_rel,
                      pose_px[1] / scale - center[1],
                      normalize_angle(pose_px[2])])
 
-    # residual: mean (1 - map probability) over the matched query points
-    H, dtr = gn.hessian_derivs(grid, s, scan_qry.points, scan_qry.valid,
-                               pose_px, scale)
-    # cheap quality proxy: gradient magnitude near zero + use dtr norm
-    resid = jnp.linalg.norm(dtr) / jnp.maximum(jnp.sum(scan_qry.valid), 1)
-    return rel, resid
+    # quality: bilinear map probability at every matched query point
+    c, sn = jnp.cos(pose_px[2]) * scale, jnp.sin(pose_px[2]) * scale
+    mx = c * scan_qry.points[:, 0] - sn * scan_qry.points[:, 1] + pose_px[0]
+    my = sn * scan_qry.points[:, 0] + c * scan_qry.points[:, 1] + pose_px[1]
+    val, _, _ = bilinear.interp_value_and_gradients(
+        grid, s, jnp.stack([mx, my], axis=1), scan_qry.valid)
+    in_b = (scan_qry.valid & (mx >= 0.0) & (mx <= s - 2) & (my >= 0.0)
+            & (my <= s - 2))
+    n_valid = jnp.maximum(jnp.sum(scan_qry.valid), 1)
+    resid = jnp.sum(jnp.where(in_b, (1.0 - val) ** 2, 0.0)) \
+        / jnp.maximum(jnp.sum(in_b), 1)
+    inlier_frac = jnp.sum((val > cfg.inlier_prob) & in_b) / n_valid
+    return rel, MatchQuality(residual=resid, inlier_frac=inlier_frac)
 
 
 def keyframe_due(last_kf_pose, pose, dist_thresh: float,

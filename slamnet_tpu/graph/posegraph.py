@@ -56,8 +56,18 @@ def init(max_nodes: int, max_edges: int) -> PoseGraph:
     )
 
 
+def has_node_room(g: PoseGraph) -> jnp.ndarray:
+    """True while another keyframe node fits (guard for callers that would
+    otherwise wire edges to a clamped index when the graph is full)."""
+    return g.num_nodes < g.poses.shape[0]
+
+
 def add_node(g: PoseGraph, pose) -> Tuple[PoseGraph, jnp.ndarray]:
-    """Append a keyframe node (no-op when full); returns (graph, node index)."""
+    """Append a keyframe node (no-op when full); returns (graph, node index).
+
+    The returned index is CLAMPED to the last slot when the graph is full —
+    never out of range — so downstream gathers stay in bounds; callers that add
+    edges must additionally gate on has_node_room (models/graph_slam.py does)."""
     idx = g.num_nodes
     ok = idx < g.poses.shape[0]
     safe = jnp.minimum(idx, g.poses.shape[0] - 1)
@@ -66,13 +76,15 @@ def add_node(g: PoseGraph, pose) -> Tuple[PoseGraph, jnp.ndarray]:
                                              g.poses[safe])),
         node_valid=g.node_valid.at[safe].set(g.node_valid[safe] | ok),
         num_nodes=jnp.where(ok, idx + 1, idx),
-    ), idx
+    ), safe
 
 
-def add_edge(g: PoseGraph, i, j, meas, weights=(1.0, 1.0, 1.0)) -> PoseGraph:
-    """Append a relative-pose constraint i -> j (no-op when full)."""
+def add_edge(g: PoseGraph, i, j, meas, weights=(1.0, 1.0, 1.0),
+             enable=True) -> PoseGraph:
+    """Append a relative-pose constraint i -> j (no-op when full or when
+    `enable` is traced False — the capacity-guard hook)."""
     e = g.num_edges
-    ok = e < g.edge_i.shape[0]
+    ok = (e < g.edge_i.shape[0]) & jnp.asarray(enable)
     safe = jnp.minimum(e, g.edge_i.shape[0] - 1)
     sel = lambda new, old: jnp.where(ok, new, old)
     return g._replace(
@@ -128,13 +140,39 @@ def edge_residuals_and_jacobians(poses, edge_i, edge_j, edge_meas, edge_valid):
     return r, ji, jj
 
 
+def robust_scale(r: jnp.ndarray, w: jnp.ndarray, delta: float,
+                 kernel: str) -> jnp.ndarray:
+    """Per-edge IRLS information scale for robust kernels.
+
+    'huber': min(1, delta/e) with e = sqrt(r^T W r) — bounds but never rejects
+    an outlier (its pull saturates at delta).
+    'dcs': dynamic covariance scaling (Agarwal et al. 2013),
+    s = (min(1, 2 delta^2 / (delta^2 + chi2)))^2 — REDESCENDING: influence of a
+    gross outlier (false loop) goes to zero, which is what perceptual-aliasing
+    rejection actually needs."""
+    chi2 = jnp.maximum(jnp.sum(r * r * w, axis=1), 1e-12)
+    if kernel == "huber":
+        return jnp.minimum(1.0, delta / jnp.sqrt(chi2))
+    if kernel == "dcs":
+        s = jnp.minimum(1.0, 2.0 * delta * delta / (delta * delta + chi2))
+        return s * s
+    raise ValueError(f"unknown robust kernel {kernel!r}")
+
+
 def build_normal_equations(g: PoseGraph, anchor_weight: float = 1e6,
-                           damping: float = 1e-6):
-    """Dense (H [3K,3K], b [3K]) from all valid edges + node-0 gauge prior."""
+                           damping: float = 1e-6, huber_delta: float = 0.0,
+                           robust_kernel: str = "dcs"):
+    """Dense (H [3K,3K], b [3K]) from all valid edges + node-0 gauge prior.
+
+    huber_delta > 0 enables robust IRLS weighting with `robust_kernel`
+    ('dcs' default, or 'huber'): an edge whose whitened residual exceeds the
+    scale loses influence instead of bending the whole trajectory."""
     k = g.poses.shape[0]
     r, ji, jj = edge_residuals_and_jacobians(g.poses, g.edge_i, g.edge_j,
                                              g.edge_meas, g.edge_valid)
     w = g.edge_w * g.edge_valid[:, None]            # [E, 3]
+    if huber_delta > 0.0:
+        w = w * robust_scale(r, w, huber_delta, robust_kernel)[:, None]
 
     def blocks(ja, jb):
         #  ja^T W jb  per edge -> [E, 3, 3]
@@ -167,10 +205,10 @@ def build_normal_equations(g: PoseGraph, anchor_weight: float = 1e6,
 
 
 def gn_step(g: PoseGraph, anchor_weight: float = 1e6,
-            damping: float = 1e-6) -> PoseGraph:
+            damping: float = 1e-6, huber_delta: float = 0.0) -> PoseGraph:
     """One Gauss-Newton step: solve H dx = -b, apply, re-wrap headings."""
     k = g.poses.shape[0]
-    H, b = build_normal_equations(g, anchor_weight, damping)
+    H, b = build_normal_equations(g, anchor_weight, damping, huber_delta)
     dx = jnp.linalg.solve(H, -b).reshape(k, 3)
     dx = jnp.where(g.node_valid[:, None], dx, 0.0)
     poses = g.poses + dx
@@ -179,9 +217,9 @@ def gn_step(g: PoseGraph, anchor_weight: float = 1e6,
 
 
 def optimize(g: PoseGraph, iterations: int = 10, anchor_weight: float = 1e6,
-             damping: float = 1e-6) -> PoseGraph:
+             damping: float = 1e-6, huber_delta: float = 0.0) -> PoseGraph:
     def body(_, gg):
-        return gn_step(gg, anchor_weight, damping)
+        return gn_step(gg, anchor_weight, damping, huber_delta)
     return jax.lax.fori_loop(0, iterations, body, g)
 
 

@@ -69,13 +69,19 @@ def _spawn_keyframe(state: GraphSlamState, scan: Scan, pose,
     prev_idx = g.num_nodes - 1
     prev_pose = g.poses[prev_idx]
 
+    # capacity guard: when the node table is full, EVERYTHING below must no-op
+    # (an edge to a clamped index would silently constrain the wrong node)
+    room = posegraph.has_node_room(g)
     g, new_idx = posegraph.add_node(g, pose)
     rel = pose_between(prev_pose, pose)
-    g = posegraph.add_edge(g, prev_idx, new_idx, rel, (50.0, 50.0, 200.0))
+    g = posegraph.add_edge(g, prev_idx, new_idx, rel, gcfg.odom_edge_weights,
+                           enable=room)
 
     safe = jnp.minimum(new_idx, state.kf_points.shape[0] - 1)
-    kf_points = state.kf_points.at[safe].set(scan.points)
-    kf_valid = state.kf_valid.at[safe].set(scan.valid)
+    kf_points = state.kf_points.at[safe].set(
+        jnp.where(room, scan.points, state.kf_points[safe]))
+    kf_valid = state.kf_valid.at[safe].set(
+        jnp.where(room, scan.valid, state.kf_valid[safe]))
 
     # ---- loop closure: nearest valid candidate by proximity
     cand_mask = frontend.loop_candidates(g.poses, g.node_valid, new_idx,
@@ -83,17 +89,21 @@ def _spawn_keyframe(state: GraphSlamState, scan: Scan, pose,
     d = jnp.linalg.norm(g.poses[:, :2] - pose[None, :2], axis=1)
     d = jnp.where(cand_mask, d, jnp.inf)
     cand = jnp.argmin(d)
-    has_cand = jnp.isfinite(d[cand])
+    has_cand = jnp.isfinite(d[cand]) & room
 
     def close_loop(g):
         cand_scan = Scan(state.kf_points[cand], state.kf_valid[cand],
                          jnp.zeros(3, jnp.float32))
         init_rel = pose_between(g.poses[cand], pose)
-        rel, resid = frontend.match_scans(cand_scan, scan, init_rel, mcfg)
-        # accept when the matcher stayed near its init (no divergence) and the
-        # residual gradient is small
-        ok = (jnp.linalg.norm(rel[:2] - init_rel[:2]) < 1.0) & (resid < 0.05)
-        g2 = posegraph.add_edge(g, cand, new_idx, rel, (100.0, 100.0, 400.0))
+        rel, q = frontend.match_scans(cand_scan, scan, init_rel, mcfg)
+        # accept when the matcher stayed near its init (no divergence) AND the
+        # query points actually land on the candidate's occupied cells —
+        # gradient-based proxies cannot reject perceptual aliasing (a garbage
+        # match converges with near-zero gradients)
+        ok = (jnp.linalg.norm(rel[:2] - init_rel[:2])
+              < gcfg.loop_max_translation) \
+            & (q.inlier_frac > gcfg.loop_min_inlier_frac)
+        g2 = posegraph.add_edge(g, cand, new_idx, rel, gcfg.loop_edge_weights)
         g2 = jax.tree.map(lambda a, b: jnp.where(ok, a, b), g2, g)
         return g2, ok
 
@@ -103,7 +113,8 @@ def _spawn_keyframe(state: GraphSlamState, scan: Scan, pose,
     g, looped = jax.lax.cond(has_cand, close_loop, no_loop, g)
 
     # optimize after every keyframe (dense MXU solve; cheap at K<=256)
-    g = posegraph.optimize(g, iterations=3, anchor_weight=1e6)
+    g = posegraph.optimize(g, iterations=3, anchor_weight=1e6,
+                           huber_delta=gcfg.huber_delta)
 
     new_state = state._replace(graph=g, kf_points=kf_points, kf_valid=kf_valid,
                                last_kf_pose=pose,

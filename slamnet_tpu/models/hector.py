@@ -37,6 +37,17 @@ class HectorState(NamedTuple):
 
 class HectorInfo(NamedTuple):
     map_updated: jnp.ndarray        # bool
+    # matcher health (ScanMatcher.cs:99-115 logs solve failures; surfaced here
+    # as counters/values instead of log lines — SURVEY.md §5.5):
+    residual: jnp.ndarray = jnp.float32(0.0)       # mean (1-M(p))^2 at final GN eval
+    gn_iterations: jnp.ndarray = jnp.int32(0)      # GN iterations executed
+    solve_failures: jnp.ndarray = jnp.int32(0)     # iterations with singular H
+
+
+class MatchStats(NamedTuple):
+    residual: jnp.ndarray        # f32 mean squared occupancy residual, finest level
+    iterations: jnp.ndarray      # i32 total GN iterations executed (all levels)
+    solve_failures: jnp.ndarray  # i32 iterations where the 3x3 solve failed
 
 
 def init(cfg: HectorConfig, start_pose) -> HectorState:
@@ -122,6 +133,14 @@ def match(state_maps: jnp.ndarray, scan: Scan,
     iterations (ops/gn.fused_gn_iteration) — ~16 us for a 15-iteration 3-level
     match on one v5e chip.
     """
+    return match_with_stats(state_maps, scan, hint_pose_world, cfg)[0]
+
+
+def match_with_stats(state_maps: jnp.ndarray, scan: Scan,
+                     hint_pose_world: jnp.ndarray,
+                     cfg: HectorConfig) -> Tuple[jnp.ndarray, MatchStats]:
+    """match + matcher health (residual / iteration count / solve failures —
+    the reference surfaces these as ILogger lines, ScanMatcher.cs:99-115)."""
     table = state_maps
     offsets = cfg.level_offsets
 
@@ -133,6 +152,10 @@ def match(state_maps: jnp.ndarray, scan: Scan,
     estimate = hint_pose_world
     any_valid = jnp.any(scan.valid)
     ox, oy = cfg.offset
+    iters = jnp.int32(0)
+    fails = jnp.int32(0)
+    resid_sum = jnp.float32(0.0)
+    n_in = jnp.float32(0.0)
     for level in range(cfg.num_levels - 1, -1, -1):
         width = cfg.level_sizes[level]
         scale = 1.0 / cfg.level_resolutions[level]
@@ -144,27 +167,36 @@ def match(state_maps: jnp.ndarray, scan: Scan,
             tol2 = cfg.early_exit_tol ** 2
 
             def cond(carry):
-                i, p, moved2 = carry
+                i, p, moved2, f, rs, ni = carry
                 return (i < n_iters) & (moved2 > tol2)
 
             def body(carry):
-                i, p, _ = carry
-                p2 = gn.fused_gn_iteration(table, offsets[level], width, scale,
-                                           p, X, Y, valid, cfg.deriv_clamp)
-                return i + 1, p2, jnp.sum((p2 - p) ** 2)
+                i, p, _, f, rs, ni = carry
+                p2, ok, rs2, ni2 = gn.fused_gn_iteration_stats(
+                    table, offsets[level], width, scale, p, X, Y, valid,
+                    cfg.deriv_clamp)
+                return (i + 1, p2, jnp.sum((p2 - p) ** 2),
+                        f + (~ok).astype(jnp.int32), rs2, ni2)
 
-            _, est_px, _ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), est_px, jnp.float32(jnp.inf)))
+            li, est_px, _, fails, resid_sum, n_in = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), est_px, jnp.float32(jnp.inf),
+                             fails, resid_sum, n_in))
+            iters = iters + li
         else:
             for _ in range(n_iters):
-                est_px = gn.fused_gn_iteration(table, offsets[level], width,
-                                               scale, est_px, X, Y, valid,
-                                               cfg.deriv_clamp)
+                est_px, ok, resid_sum, n_in = gn.fused_gn_iteration_stats(
+                    table, offsets[level], width, scale, est_px, X, Y, valid,
+                    cfg.deriv_clamp)
+                fails = fails + (~ok).astype(jnp.int32)
+            iters = iters + n_iters
         th = normalize_angle(est_px[2])
         estimate = jnp.stack([(est_px[0] - ox) / scale, (est_px[1] - oy) / scale,
                               th])
     # empty scan returns the hint (ScanMatcher.cs:82-83)
-    return jnp.where(any_valid, estimate, hint_pose_world)
+    pose = jnp.where(any_valid, estimate, hint_pose_world)
+    stats = MatchStats(residual=resid_sum / jnp.maximum(n_in, 1.0),
+                       iterations=iters, solve_failures=fails)
+    return pose, stats
 
 
 def update_maps(state_maps: jnp.ndarray, scan: Scan,
@@ -196,7 +228,7 @@ def update(state: HectorState, scan: Scan, pose_hint_world,
     pose_hint_world = jnp.asarray(pose_hint_world, jnp.float32)
     force = jnp.asarray(map_without_matching)
 
-    matched = match(state.maps, scan, pose_hint_world, cfg)
+    matched, mstats = match_with_stats(state.maps, scan, pose_hint_world, cfg)
     match_pose = jnp.where(force, pose_hint_world, matched)
 
     dist2 = jnp.sum((match_pose[:2] - state.last_update_pose[:2]) ** 2)
@@ -217,4 +249,6 @@ def update(state: HectorState, scan: Scan, pose_hint_world,
     new_last = jnp.where(do_update, match_pose, state.last_update_pose)
 
     return (HectorState(new_maps, match_pose, new_last),
-            HectorInfo(map_updated=do_update))
+            HectorInfo(map_updated=do_update, residual=mstats.residual,
+                       gn_iterations=mstats.iterations,
+                       solve_failures=mstats.solve_failures))

@@ -79,6 +79,10 @@ def _solve_scalar(H00, H01, H02, H11, H12, H22, d0, d1, d2, clamp):
     Measured ~23% faster per fused GN iteration than the stacked form (the hot
     loop is tiny-op-scheduling bound, docs/PERF.md); kept private to the fused
     matcher, the public solve_gn_step stays the readable API.
+
+    Returns (s0, s1, s2, ok) — ok mirrors the reference's solve guards
+    (ScanMatcher.cs:97-103): when False the step is zero and the caller may
+    count/log the failure (the reference logs "H is not invertible").
     """
     a0 = H11 * H22 - H12 * H12            # adjugate upper triangle
     a1 = H02 * H12 - H01 * H22
@@ -92,7 +96,7 @@ def _solve_scalar(H00, H01, H02, H11, H12, H22, d0, d1, d2, clamp):
     s0 = (a0 * d0 + a1 * d1 + a2 * d2) * inv
     s1 = (a1 * d0 + b1 * d1 + b2 * d2) * inv
     s2 = jnp.clip((a2 * d0 + b2 * d1 + c2 * d2) * inv, -clamp, clamp)
-    return s0, s1, s2
+    return s0, s1, s2, ok
 
 
 def gn_iteration(logodds_flat, width, points, valid, pose_px, scale_to_map,
@@ -117,10 +121,10 @@ def gn_iteration(logodds_flat, width, points, valid, pose_px, scale_to_map,
 # vs ~1 ms for the unfused op-per-op formulation.
 # ---------------------------------------------------------------------------
 
-def fused_gn_iteration(table: jnp.ndarray, offset: int, width: int,
-                       scale: float, pose_px: jnp.ndarray, X, Y, valid,
-                       deriv_clamp: float = 0.2) -> jnp.ndarray:
-    """One GN step against the level at `offset` inside the concatenated table."""
+def _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
+                   deriv_clamp, with_stats: bool):
+    """Shared body of the fused GN step; `with_stats` is a trace-time flag —
+    when False the stats rows are never built (zero cost on the plain path)."""
     sr = jnp.sin(pose_px[2]) * scale
     cr = jnp.cos(pose_px[2]) * scale
     mx = cr * X - sr * Y + pose_px[0]
@@ -146,10 +150,36 @@ def fused_gn_iteration(table: jnp.ndarray, offset: int, width: int,
     # all 9 Hessian/residual sums as ONE [9, N] stacked reduction (gx/gy already
     # zeroed outside bounds, so masking is inherited) + the scalar solve —
     # measured faster than two small matmuls + stacked solve (tiny-op bound)
-    red = jnp.stack([gx * fun, gy * fun, rot * fun,
-                     gx * gx, gx * gy, gx * rot,
-                     gy * gy, gy * rot, rot * rot]).sum(axis=1)
-    d0, d1, d2, H00, H01, H02, H11, H12, H22 = red
-    s0, s1, s2 = _solve_scalar(H00, H01, H02, H11, H12, H22, d0, d1, d2,
-                               deriv_clamp)
-    return jnp.stack([pose_px[0] + s0, pose_px[1] + s1, pose_px[2] + s2])
+    rows = [gx * fun, gy * fun, rot * fun,
+            gx * gx, gx * gy, gx * rot,
+            gy * gy, gy * rot, rot * rot]
+    if with_stats:
+        # two extra fused rows: sum (1-M)^2 and the in-bounds count — the
+        # matcher-health channel (ScanMatcher.cs:99-115 logging parity)
+        rows += [fun * fun, ok.astype(jnp.float32)]
+    red = jnp.stack(rows).sum(axis=1)
+    d0, d1, d2, H00, H01, H02, H11, H12, H22 = red[:9]
+    s0, s1, s2, solve_ok = _solve_scalar(H00, H01, H02, H11, H12, H22,
+                                         d0, d1, d2, deriv_clamp)
+    new_pose = jnp.stack([pose_px[0] + s0, pose_px[1] + s1, pose_px[2] + s2])
+    if with_stats:
+        return new_pose, solve_ok, red[9], red[10]
+    return new_pose
+
+
+def fused_gn_iteration(table: jnp.ndarray, offset: int, width: int,
+                       scale: float, pose_px: jnp.ndarray, X, Y, valid,
+                       deriv_clamp: float = 0.2) -> jnp.ndarray:
+    """One GN step against the level at `offset` inside the concatenated table."""
+    return _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
+                          deriv_clamp, with_stats=False)
+
+
+def fused_gn_iteration_stats(table: jnp.ndarray, offset: int, width: int,
+                             scale: float, pose_px: jnp.ndarray, X, Y, valid,
+                             deriv_clamp: float = 0.2):
+    """fused_gn_iteration + matcher health: returns
+    (new_pose f32[3], solve_ok bool, resid_sum f32 = sum (1-M(p))^2 over
+    in-bounds valid beams, n_in f32 = that beam count)."""
+    return _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
+                          deriv_clamp, with_stats=True)

@@ -67,6 +67,78 @@ def test_rebuild_maps_produces_clean_pyramid():
     assert (l0 < 0).sum() > 10000      # carved free space
 
 
+def test_capacity_guard_no_corrupt_edges():
+    # graph fills up mid-run: further keyframes must become no-ops, never
+    # edges wired to a clamped node index (the round-1 silent-overflow bug)
+    traj = loop_trajectory(speed=0.3)[:300]
+    gcfg = PoseGraphConfig(max_keyframes=3, max_edges=256, keyframe_dist=1.0,
+                           keyframe_angle=0.6)
+    state, infos, hcfg, _ = _run(traj, gcfg=gcfg)
+    g = state.graph
+    assert int(g.num_nodes) == 3
+    ne = int(g.num_edges)
+    ei = np.asarray(g.edge_i[:ne])
+    ej = np.asarray(g.edge_j[:ne])
+    # every stored edge references a DISTINCT pair of valid nodes
+    assert (ei < 3).all() and (ej < 3).all()
+    assert (ei != ej).all()
+    # the odometry chain stops growing once full: at most 2 chain edges
+    # (0->1, 1->2) plus any accepted loop edges between valid nodes
+    chain = [(int(a), int(b)) for a, b in zip(ei, ej)]
+    assert chain.count((0, 1)) == 1 and chain.count((1, 2)) == 1
+
+
+def test_false_loop_rejected():
+    # perceptual aliasing: the stored candidate clouds are garbage, so the
+    # return pass must REJECT every loop-closure attempt
+    fwd = np.stack([np.linspace(20, 23.5, 30), np.full(30, 20.0),
+                    np.zeros(30)], -1).astype(np.float32)
+    back = fwd[::-1].copy()
+    still = np.tile(np.asarray([20.0, 20.0, 0.0], np.float32), (12, 1))
+    traj = np.concatenate([still, fwd, back])
+    gcfg = PoseGraphConfig(max_keyframes=64, max_edges=256, keyframe_dist=0.8,
+                           keyframe_angle=0.6, loop_closure_radius=1.5)
+
+    hcfg = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4))
+    sim = SimConfig()
+    fld = default_field()
+    angles = jnp.asarray(lidar.revolution_angles(sim.num_scan_points))
+    n = len(angles)
+    key = jax.random.PRNGKey(0)
+    state = graph_slam.init(hcfg, gcfg, traj[0], n)
+
+    @jax.jit
+    def step(state, real_pose, key, boot):
+        radii, valid = lidar.scan_revolution(fld, real_pose, angles,
+                                             sim.max_scan_dist,
+                                             sim.measure_error, key)
+        pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
+        cloud = Scan(pts, valid, jnp.zeros(3, jnp.float32))
+        return graph_slam.update(state, cloud, hcfg, gcfg,
+                                 map_without_matching=boot)
+
+    half = len(still) + len(fwd)
+    for t in range(half):
+        key, sub = jax.random.split(key)
+        state, _ = step(state, jnp.asarray(traj[t]), sub, jnp.asarray(t < 10))
+
+    # corrupt every stored keyframe cloud (a different, unrelated place)
+    rng = np.random.default_rng(7)
+    garbage = rng.uniform(-12.0, 12.0,
+                          state.kf_points.shape).astype(np.float32)
+    state = state._replace(kf_points=jnp.asarray(garbage))
+
+    for t in range(half, len(traj)):
+        key, sub = jax.random.split(key)
+        state, _ = step(state, jnp.asarray(traj[t]), sub, jnp.asarray(False))
+
+    # no aliased loop accepted, and the live track stayed on the trajectory
+    assert int(state.loop_count) == 0
+    err = np.linalg.norm(
+        np.asarray(state.hector.match_pose[:2]) - traj[-1][:2])
+    assert err < 0.5, err
+
+
 def test_loop_closure_fires_on_revisit():
     # drive out 3 m and come back to the start: the return keyframe is within
     # loop radius of keyframe 0 with an index gap

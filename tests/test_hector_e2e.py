@@ -100,6 +100,49 @@ def test_early_exit_matches_fixed_iterations():
     assert abs(p_ee.mean() - p_fixed.mean()) < 0.05
 
 
+def test_matcher_health_info():
+    # fixed-iteration mode reports the full budget, zero solve failures on a
+    # warmed map, and a small positive residual
+    cfg = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4))
+    traj = stationary_trajectory(num_scans=15)
+    sim = SimConfig()
+    fld = default_field()
+    angles = jnp.asarray(lidar.revolution_angles(sim.num_scan_points))
+    key = jax.random.PRNGKey(0)
+    state = hector.init(cfg, traj[0])
+
+    @jax.jit
+    def step(state, real_pose, key, boot):
+        radii, valid = lidar.scan_revolution(fld, real_pose, angles,
+                                             sim.max_scan_dist,
+                                             sim.measure_error, key)
+        pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
+        cloud = Scan(pts, valid, jnp.zeros(3, jnp.float32))
+        return hector.update(state, cloud, state.match_pose, cfg,
+                             map_without_matching=boot)
+
+    info = None
+    for t in range(15):
+        key, sub = jax.random.split(key)
+        state, info = step(state, jnp.asarray(traj[t]), sub,
+                           jnp.asarray(t < 10))
+    assert int(info.gn_iterations) == sum(cfg.estimate_iterations)
+    assert int(info.solve_failures) == 0
+    r = float(info.residual)
+    assert 0.0 < r < 0.5, r
+
+    # on an EMPTY map every H is singular: all iterations count as failures
+    empty = hector.init(cfg, traj[0])
+    _, stats = hector.match_with_stats(
+        empty.maps,
+        Scan(jnp.asarray(np.random.default_rng(0).uniform(-5, 5, (400, 2)),
+                         jnp.float32), jnp.ones(400, bool),
+             jnp.zeros(3, jnp.float32)),
+        jnp.asarray(traj[0], jnp.float32), cfg)
+    assert int(stats.solve_failures) == int(stats.iterations) \
+        == sum(cfg.estimate_iterations)
+
+
 def test_compat_angle_gate_ignores_negative_rotation():
     # the documented reference bug: with angle_gate_compat=True a negative
     # rotation alone never triggers a map update (SURVEY.md §2.3)

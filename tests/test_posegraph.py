@@ -58,6 +58,39 @@ def test_gn_reduces_error_and_recovers_circle():
     assert after.max() < 0.35, after.max()
 
 
+def test_huber_downweights_outlier_edge():
+    # a grossly wrong loop edge: plain GN bends the circle toward it; Huber
+    # weighting keeps the recovered trajectory near the truth
+    g, truth, _ = _circle_graph()
+    n = truth.shape[0]
+    bogus = np.asarray([4.0, -4.0, 1.5], np.float32)   # nonsense constraint
+    g = posegraph.add_edge(g, 2, n // 2 + 2, bogus, (100.0, 100.0, 400.0))
+
+    plain = posegraph.optimize(g, iterations=15)
+    robust = posegraph.optimize(g, iterations=15, huber_delta=3.0)
+    err_plain = np.linalg.norm(
+        np.asarray(plain.poses[:n, :2]) - truth[:, :2], axis=1)
+    err_robust = np.linalg.norm(
+        np.asarray(robust.poses[:n, :2]) - truth[:, :2], axis=1)
+    assert err_robust.mean() < err_plain.mean() * 0.7, \
+        (err_plain.mean(), err_robust.mean())
+    assert err_robust.max() < 0.6, err_robust.max()
+
+
+def test_add_node_full_returns_clamped_index():
+    g = posegraph.init(2, 4)
+    g, i0 = posegraph.add_node(g, (0.0, 0.0, 0.0))
+    g, i1 = posegraph.add_node(g, (1.0, 0.0, 0.0))
+    assert not bool(posegraph.has_node_room(g))
+    g2, i2 = posegraph.add_node(g, (9.0, 9.0, 9.0))   # full: no-op
+    assert int(i2) == 1                                # clamped, in range
+    assert int(g2.num_nodes) == 2
+    np.testing.assert_array_equal(np.asarray(g2.poses), np.asarray(g.poses))
+    # gated edge add is a no-op
+    g3 = posegraph.add_edge(g2, 0, int(i2), (0.0, 0.0, 0.0), enable=False)
+    assert int(g3.num_edges) == 0
+
+
 def test_schur_solve_equals_dense():
     g, _, _ = _circle_graph()
     H, b = posegraph.build_normal_equations(g)
@@ -101,10 +134,18 @@ def test_match_scans_recovers_relative_pose():
     ref = _ring_scan((0.0, 0.0, 0.0))
     true_rel = np.asarray([0.4, -0.3, 0.08], np.float32)
     qry = _ring_scan(tuple(true_rel))
-    rel, resid = frontend.match_scans(ref, qry, (0.0, 0.0, 0.0), cfg)
+    rel, q = frontend.match_scans(ref, qry, (0.0, 0.0, 0.0), cfg)
     err = np.asarray(rel) - true_rel
     assert abs(err[0]) < 0.1 and abs(err[1]) < 0.1, rel
     assert abs(err[2]) < 0.05
+    # a correct match lands most points on the reference's occupied cells;
+    # a garbage query against the same grid lands almost none
+    assert float(q.inlier_frac) > 0.5, float(q.inlier_frac)
+    rng = np.random.default_rng(11)
+    junk = Scan(jnp.asarray(rng.uniform(-8, 8, (256, 2)), jnp.float32),
+                jnp.ones(256, bool), jnp.zeros(3, jnp.float32))
+    _, qj = frontend.match_scans(ref, junk, (0.0, 0.0, 0.0), cfg)
+    assert float(qj.inlier_frac) < 0.25, float(qj.inlier_frac)
 
 
 def test_keyframe_due_and_loop_candidates():
