@@ -152,6 +152,119 @@ def hole_map_blend(pixels, draws, alpha):
     return pixels
 
 
+def calculate_distance_batch(points, poses, pixels, size, scale):
+    """Vectorized-exact CalculateDistanceSISD over B candidate poses.
+
+    Identical float32 op sequence per point as calculate_distance (the sum of
+    int pixels is order-free, so vectorizing cannot change the result);
+    returns (sums i64[B], nb i32[B])."""
+    px = poses[:, 0].astype(np.float32) * np.float32(scale) + np.float32(0.5)
+    py = poses[:, 1].astype(np.float32) * np.float32(scale) + np.float32(0.5)
+    c = np.cos(poses[:, 2]).astype(np.float32) * np.float32(scale)
+    s = np.sin(poses[:, 2]).astype(np.float32) * np.float32(scale)
+    X = points[:, 0].astype(np.float32)[None, :]
+    Y = points[:, 1].astype(np.float32)[None, :]
+    x = np.trunc(px[:, None] + c[:, None] * X - s[:, None] * Y).astype(np.int64)
+    y = np.trunc(py[:, None] + s[:, None] * X + c[:, None] * Y).astype(np.int64)
+    in_b = (x >= 0) & (x < size) & (y >= 0) & (y < size)
+    flat = np.clip(y * size + x, 0, size * size - 1)
+    vals = np.where(in_b, pixels[flat], 0)
+    return vals.sum(axis=1), in_b.sum(axis=1).astype(np.int32)
+
+
+class GoldenCoreSlam:
+    """Composed sequential CoreSLAM pipeline oracle (SURVEY.md §7 hard-part 2).
+
+    The full Update() flow of CoreSLAMProcessor.cs:717-752 re-composed from the
+    per-kernel goldens above: odometry-delta search prior + warmup (:728,
+    :739-743), Monte-Carlo search over `num_candidates` perturbations of the
+    FIXED search pose (:624-653 — the reference perturbs searchPose, not the
+    running best, so a batch is distributionally identical), exact sequential
+    hole-map update (UpdateHoleMap :496-534 endpoint math + DrawLaserRayOnHoleMap
+    V-profile + ordered alpha blends).  The obstacle map is skipped — it never
+    feeds back into the pose estimate (search scores against the hole map only).
+    """
+
+    TS_OBSTACLE = 0
+    TS_NO_OBSTACLE = 65500
+
+    def __init__(self, size, scale, start_pose, sigma_xy, sigma_theta,
+                 num_candidates, hole_width, quality, warmup, seed=0):
+        self.size, self.scale = size, scale
+        self.pixels = np.full(size * size,
+                              (self.TS_OBSTACLE + self.TS_NO_OBSTACLE) // 2,
+                              np.int64)
+        self.pose = np.asarray(start_pose, np.float32).copy()
+        self.last_odo = np.zeros(3, np.float32)
+        self.sigma_xy, self.sigma_theta = sigma_xy, sigma_theta
+        self.num_candidates = num_candidates
+        self.hole_width, self.quality = hole_width, quality
+        self.warmup = warmup
+        self.scan_count = 0
+        self.rng = np.random.default_rng(seed)
+
+    def _search(self, points, search_pose):
+        deltas = np.zeros((self.num_candidates, 3), np.float32)
+        deltas[1:, 0] = self.rng.normal(0, self.sigma_xy,
+                                        self.num_candidates - 1)
+        deltas[1:, 1] = self.rng.normal(0, self.sigma_xy,
+                                        self.num_candidates - 1)
+        deltas[1:, 2] = self.rng.normal(0, self.sigma_theta,
+                                        self.num_candidates - 1)
+        cands = search_pose[None, :] + deltas
+        sums, nb = calculate_distance_batch(points, cands, self.pixels,
+                                            self.size, self.scale)
+        eff = np.where(nb > 0, sums, np.int64(2**62))
+        return cands[int(np.argmin(eff))]
+
+    def _update_hole_map(self, points):
+        """UpdateHoleMap (:496-534): exact float32 endpoint math, per-beam
+        sequential draws; within one beam Bresenham visits distinct pixels, so
+        each beam's blend list applies as one vectorized read-modify-write."""
+        f32 = np.float32
+        px = f32(self.pose[0]) * f32(self.scale) + f32(0.5)
+        py = f32(self.pose[1]) * f32(self.scale) + f32(0.5)
+        c = f32(math.cos(self.pose[2])) * f32(self.scale)
+        s = f32(math.sin(self.pose[2])) * f32(self.scale)
+        x1, y1 = int(px), int(py)
+        if not (0 <= x1 < self.size and 0 <= y1 < self.size):
+            return
+        for X, Y in points:
+            x2p = c * f32(X) - s * f32(Y)
+            y2p = s * f32(X) + c * f32(Y)
+            xp, yp = int(px + x2p), int(py + y2p)
+            dist = f32(math.sqrt(f32(x2p * x2p + y2p * y2p)))
+            add = f32(self.hole_width) * f32(self.scale) / f32(2.0) / dist
+            x2p = f32(x2p * (f32(1.0) + add))
+            y2p = f32(y2p * (f32(1.0) + add))
+            x2, y2 = int(px + x2p), int(py + y2p)
+            draws = hole_ray_draw(x1, y1, x2, y2, xp, yp, self.TS_OBSTACLE,
+                                  self.TS_NO_OBSTACLE, self.size)
+            if draws:
+                ptrs = np.asarray([d[0] for d in draws])
+                vals = np.asarray([d[1] for d in draws], np.int64)
+                self.pixels[ptrs] = (
+                    (256 - self.quality) * self.pixels[ptrs]
+                    + self.quality * vals) >> 8
+
+    def update(self, points, odo):
+        """One scan; points = cartesian hits only (valid beams), odo = the
+        odometry pose (the simulator feeds the estimate back, MainWindow:380-407)."""
+        odo = np.asarray(odo, np.float32)
+        if self.scan_count >= self.warmup:
+            search_pose = self.pose + (odo - self.last_odo)
+            self.pose = self._search(points, search_pose)
+        else:
+            self.pose = odo.copy()
+            self.scan_count += 1
+        # MathEx.NormalizeAngle to (-pi, pi] (MathEx.cs:128-138)
+        a = self.pose[2] % (2 * math.pi)
+        self.pose[2] = np.float32(a - 2 * math.pi if a > math.pi else a)
+        self._update_hole_map(points)
+        self.last_odo = odo
+        return self.pose.copy()
+
+
 def calculate_distance(points, pose, pixels, size, scale):
     """CalculateDistanceSISD (CoreSLAMProcessor.cs:226-259): (sum, nb, score)."""
     px = np.float32(pose[0]) * np.float32(scale) + np.float32(0.5)
