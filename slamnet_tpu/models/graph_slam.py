@@ -153,6 +153,81 @@ def update(state: GraphSlamState, scan: Scan, hcfg: HectorConfig,
                                     map_updated=hinfo.map_updated)
 
 
+def rebuild_maps_sharded(mesh, state: GraphSlamState, hcfg: HectorConfig,
+                         tile_axis: str = "tile",
+                         search_axis: str = "search") -> jnp.ndarray:
+    """Distributed map finalization (north star: "keyframes sharded across
+    hosts"): keyframe CLOUD STORAGE is sharded over `search_axis` (each host
+    keeps K/S clouds) and the pyramid's rows over `tile_axis`.  The rebuild
+    walks keyframe slots in order; at each step the owning shard broadcasts its
+    cloud with one psum (everyone else contributes zeros) and every tile
+    applies the bitwise-exact row-local occupancy update
+    (models/hector_sharded._level_update_local).  Result equals the serial
+    rebuild_maps exactly (tests/test_graph_slam.py).
+
+    Returns the stacked tile-local tables f32[T, local_cells] (halos
+    refreshed), directly usable as a hector_sharded state; use
+    hector_sharded.unshard_maps-style reassembly for a dense pyramid.
+    """
+    import jax.sharding as jsh
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from . import hector_sharded
+
+    n_tiles = mesh.shape[tile_axis]
+    n_search = mesh.shape[search_axis]
+    kf_k = state.kf_points.shape[0]
+    assert kf_k % n_search == 0, (kf_k, n_search)
+    per = kf_k // n_search
+    loffs = hector_sharded.local_level_offsets(hcfg, n_tiles)
+    ncells = hector_sharded.local_cells(hcfg, n_tiles)
+
+    def local(kf_pts, kf_valid, poses, node_valid):
+        # kf_pts arrives as this shard's [K/S, N, 2] cloud slice
+        srank = jax.lax.axis_index(search_axis)
+        tile = jax.lax.axis_index(tile_axis)
+
+        def body(k, loc):
+            owner = k // per
+            kloc = jnp.where(owner == srank, k - owner * per, 0)
+            pts = jnp.where(owner == srank,
+                            jax.lax.dynamic_index_in_dim(kf_pts, kloc, 0,
+                                                         keepdims=False), 0.0)
+            vmask = jnp.where(owner == srank,
+                              jax.lax.dynamic_index_in_dim(
+                                  kf_valid, kloc, 0,
+                                  keepdims=False).astype(jnp.int32), 0)
+            # broadcast the owner's cloud: everyone else contributed zeros
+            pts = jax.lax.psum(pts, search_axis)
+            vmask = jax.lax.psum(vmask, search_axis)
+            v = (vmask > 0) & node_valid[k]
+            new = loc
+            for level in range(hcfg.num_levels):
+                width = hcfg.level_sizes[level]
+                rows = width // n_tiles
+                new = hector_sharded._level_update_local(
+                    new, loffs[level], width, rows, tile * rows, width,
+                    pts[:, 0], pts[:, 1], v, poses[k],
+                    1.0 / hcfg.level_resolutions[level], hcfg.log_odds_free,
+                    hcfg.log_odds_occupied, hcfg.occupied_cap, search_axis)
+            return new
+
+        loc = jax.lax.fori_loop(0, kf_k, body,
+                                jnp.zeros((ncells,), jnp.float32))
+        for level in range(hcfg.num_levels):
+            width = hcfg.level_sizes[level]
+            loc = hector_sharded._halo_refresh_local(
+                loc, loffs[level], width, width // n_tiles, tile_axis)
+        return loc[None]
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(search_axis), P(search_axis), P(), P()),
+                   out_specs=P(tile_axis), check_vma=False)
+    return fn(state.kf_points, state.kf_valid, state.graph.poses,
+              state.graph.node_valid)
+
+
 def rebuild_maps(state: GraphSlamState, hcfg: HectorConfig) -> jnp.ndarray:
     """Offline map finalization: rasterize every stored keyframe scan at its
     OPTIMIZED pose into a fresh pyramid (lax.scan over keyframe slots)."""

@@ -67,6 +67,30 @@ def test_rebuild_maps_produces_clean_pyramid():
     assert (l0 < 0).sum() > 10000      # carved free space
 
 
+def test_rebuild_maps_sharded_equals_serial():
+    # north star: keyframe clouds sharded over 'search' (storage split),
+    # pyramid rows over 'tile'; result must equal the serial rebuild EXACTLY
+    import jax as _jax
+    import pytest
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from slamnet_tpu.models import hector_sharded
+    from slamnet_tpu.parallel import make_mesh
+
+    traj = loop_trajectory(speed=0.3)[:300]
+    state, infos, hcfg, gcfg = _run(traj)
+    serial = graph_slam.rebuild_maps(state, hcfg)
+
+    mesh = make_mesh({"tile": 4, "search": 2})
+    stacked = graph_slam.rebuild_maps_sharded(mesh, state, hcfg)
+    sh = hector_sharded.ShardedHectorState(
+        local_maps=stacked, match_pose=jnp.zeros(3),
+        last_update_pose=jnp.zeros(3))
+    np.testing.assert_array_equal(
+        np.asarray(hector_sharded.unshard_maps(sh, hcfg)),
+        np.asarray(serial))
+
+
 def test_capacity_guard_no_corrupt_edges():
     # graph fills up mid-run: further keyframes must become no-ops, never
     # edges wired to a clamped node index (the round-1 silent-overflow bug)
