@@ -128,7 +128,10 @@ def main():
     for name, cand in (("early_exit", dataclasses.replace(cfg, early_exit_tol=1e-3)),
                        ("early_exit_dense",
                         dataclasses.replace(cfg, early_exit_tol=1e-3,
-                                            dense_free_fill=True))):
+                                            dense_free_fill=True)),
+                       ("early_exit_sub2",
+                        dataclasses.replace(cfg, early_exit_tol=1e-3,
+                                            match_subsample=2))):
         t_c, (poses_c, upd_c, resid_c, fails_c) = measure(cand)
         ate_c, max_c = ate_of(poses_c)
         modes[name] = {"scans_per_sec": round(n_scans / t_c, 1),

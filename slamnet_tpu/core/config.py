@@ -116,6 +116,20 @@ class HectorConfig(_Overlayable):
     # fraction of the budget (lax.while_loop; see docs/PERF.md).
     occupied_cap: float = 50.0          # log-odds cap (OccGridMap.cs:211)
     deriv_clamp: float = 0.2            # GN rotation step clamp, rad (ScanMatcher.cs:107-117)
+    match_subsample: int = 1
+    # 1 (default): match on every beam (reference behavior).  k > 1: the GN
+    # MATCHER uses every k-th beam (map updates still use all beams) — the
+    # matcher is gather-rate-bound on TPU (~117M gathered elements/s,
+    # docs/PERF.md), so matching cost drops ~k-fold for a small precision
+    # trade (H conditioning scales with sqrt(beams)).  Production fleet
+    # serving uses 4 (100 of 400 beams) — ATE verified in scripts/bench_fleet.
+    xy_step_clamp_px: float = 0.0
+    # 0 (default): reference parity — only the rotation step is clamped, so a
+    # near-singular H in a degenerate view (e.g. bootstrap facing a single
+    # wall) can throw the pose off-map in one GN step, after which there is no
+    # recovery (the reference has the same failure mode, README.md:39).
+    # > 0: robustness extension — per-iteration translation step bounded to
+    # +/- this many map pixels (recommended ~10 for production serving).
     offset: Tuple[float, float] = (0.0, 0.0)  # map offset (MapRepMultiMap passes zero)
 
     @property

@@ -1,16 +1,25 @@
 """Fleet serving: many independent SLAM instances batched on one chip.
 
 The production deployment mode with no reference counterpart: a server-side chip
-tracks B robots at once by vmapping the full per-scan update over a batched state
-pytree.  Each instance has its own maps/pose/RNG; the batch dimension rides the
-VPU/MXU for free — per-chip throughput scales with B until memory or compute
-saturates (a 3-level 400x400 Hector instance is ~1 MB of maps, so hundreds of
-instances fit in HBM).
+tracks B robots at once.  Each instance has its own maps/pose; a 3-level
+400x400 Hector instance is ~1 MB of maps, so hundreds of instances fit in HBM.
 
-Note: under vmap, the per-instance map-update gate (lax.cond) lowers to select —
-every instance pays the scatter every scan.  That is the right trade for fleet
-throughput (uniform work, no divergence); latency-critical single streams should
-use the unbatched models.
+Split execution model (the round-2 throughput fix, docs/PERF.md):
+
+  * MATCHING is batched through ops/gn.fused_gn_iteration_batch: all instance
+    pyramids view as ONE flat table so each GN iteration is a single
+    non-batched gather (a vmapped matcher's batched gather serializes per
+    instance on TPU — measured ~350 us/instance at B=64);
+  * MAP UPDATES run as a lax.scan over the instance axis with a real lax.cond
+    per instance.  Under vmap the motion gate lowers to select, so EVERY
+    instance pays the serialized occupancy scatter EVERY scan (the round-1
+    10x regression); under scan the cond stays a genuine branch, so only the
+    ~1-in-18 instances whose gate fires (reference motion-gate statistics,
+    HectorSLAMProcessor.cs:107-109) pay it.  Expected cost per batch-scan:
+    B/18 updates instead of B.
+
+Semantics are unchanged: identical to per-instance models/hector.update
+(tests/test_fleet.py asserts exact agreement).
 """
 from __future__ import annotations
 
@@ -20,7 +29,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import HectorConfig
+from ..core.geometry import deg_diff, normalize_angle, rad_diff
 from ..core.scan import Scan
+from ..ops import gn
 from . import hector
 
 
@@ -34,19 +45,143 @@ def init_fleet(cfg: HectorConfig, start_poses) -> hector.HectorState:
     return jax.vmap(one)(start_poses)
 
 
+def _match_batch(tables, points, valid, hints, cfg: HectorConfig):
+    """Coarse-to-fine pyramid match for B instances (models/hector.match
+    semantics, batched).  tables f32[B, C]; points f32[B, N, 2]; hints f32[B, 3].
+    Returns (poses f32[B, 3], MatchStats with [B]-shaped fields)."""
+    b = points.shape[0]
+    if cfg.match_subsample > 1:
+        # matcher-only beam subsampling (docs/PERF.md): map updates keep all
+        # beams, matching cost is gather-bound and drops ~k-fold
+        points = points[:, ::cfg.match_subsample]
+        valid = valid[:, ::cfg.match_subsample]
+    n = points.shape[1]
+    pad = hector._lane_pad(n)
+    if n < pad:
+        z = jnp.zeros((b, pad - n), jnp.float32)
+        X = jnp.concatenate([points[:, :, 0], z], axis=1)
+        Y = jnp.concatenate([points[:, :, 1], z], axis=1)
+        V = jnp.concatenate([valid, jnp.zeros((b, pad - n), bool)], axis=1)
+    else:
+        X, Y, V = points[:, :, 0], points[:, :, 1], valid
+
+    estimate = hints
+    any_valid = jnp.any(valid, axis=1)
+    ox, oy = cfg.offset
+    iters = jnp.int32(0)
+    fails = jnp.zeros(b, jnp.int32)
+    resid_sum = jnp.zeros(b, jnp.float32)
+    n_in = jnp.zeros(b, jnp.float32)
+    for level in range(cfg.num_levels - 1, -1, -1):
+        width = cfg.level_sizes[level]
+        offset = cfg.level_offsets[level]
+        scale = 1.0 / cfg.level_resolutions[level]
+        est_px = jnp.stack([estimate[:, 0] * scale + ox,
+                            estimate[:, 1] * scale + oy,
+                            estimate[:, 2]], axis=1)
+        n_iters = cfg.estimate_iterations[level]
+        if cfg.early_exit_tol > 0.0:
+            # batch-wide convergence: stop when EVERY instance's step is tiny
+            tol2 = cfg.early_exit_tol ** 2
+
+            def cond(carry):
+                i, p, moved2, f, rs, ni = carry
+                return (i < n_iters) & (jnp.max(moved2) > tol2)
+
+            def body(carry):
+                i, p, _, f, rs, ni = carry
+                p2, ok, rs2, ni2 = gn.fused_gn_iteration_batch(
+                    tables, offset, width, scale, p, X, Y, V, cfg.deriv_clamp,
+                    cfg.xy_step_clamp_px)
+                return (i + 1, p2, jnp.sum((p2 - p) ** 2, axis=1),
+                        f + (~ok).astype(jnp.int32), rs2, ni2)
+
+            li, est_px, _, fails, resid_sum, n_in = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), est_px,
+                             jnp.full(b, jnp.inf, jnp.float32), fails,
+                             resid_sum, n_in))
+            iters = iters + li
+        else:
+            for _ in range(n_iters):
+                est_px, ok, resid_sum, n_in = gn.fused_gn_iteration_batch(
+                    tables, offset, width, scale, est_px, X, Y, V,
+                    cfg.deriv_clamp, cfg.xy_step_clamp_px)
+                fails = fails + (~ok).astype(jnp.int32)
+            iters = iters + n_iters
+        th = jax.vmap(normalize_angle)(est_px[:, 2])
+        estimate = jnp.stack([(est_px[:, 0] - ox) / scale,
+                              (est_px[:, 1] - oy) / scale, th], axis=1)
+    poses = jnp.where(any_valid[:, None], estimate, hints)
+    stats = hector.MatchStats(
+        residual=resid_sum / jnp.maximum(n_in, 1.0),
+        iterations=jnp.broadcast_to(iters, (b,)), solve_failures=fails)
+    return poses, stats
+
+
 def update_fleet(states: hector.HectorState, points, valid, cfg: HectorConfig,
                  map_without_matching=False) -> Tuple[hector.HectorState,
                                                       hector.HectorInfo]:
     """One scan step for every instance; points f32[B, N, 2], valid bool[B, N]."""
-    force = jnp.broadcast_to(jnp.asarray(map_without_matching),
-                             (points.shape[0],))
+    b = points.shape[0]
+    force = jnp.broadcast_to(jnp.asarray(map_without_matching), (b,))
 
-    def one(st, pts, v, f):
-        cloud = Scan(pts, v, jnp.zeros(3, jnp.float32))
-        return hector.update(st, cloud, st.match_pose, cfg,
-                             map_without_matching=f)
+    # ---- phase 1: batched matching (ONE flat gather per GN iteration — a
+    # vmapped matcher serializes per instance, ops/gn.fused_gn_iteration_batch)
+    matched, mstats = _match_batch(states.maps, points, valid,
+                                   states.match_pose, cfg)
+    match_pose = jnp.where(force[:, None], states.match_pose, matched)
 
-    return jax.vmap(one)(states, points, valid, force)
+    # ---- phase 2: vectorized motion gates (HectorSLAMProcessor.cs:107-109) -
+    dist2 = jnp.sum((match_pose[:, :2] - states.last_update_pose[:, :2]) ** 2,
+                    axis=1)
+    if cfg.angle_gate_compat:
+        ang_gate = jax.vmap(deg_diff)(match_pose[:, 2],
+                                      states.last_update_pose[:, 2]) \
+            > cfg.min_angle_diff_for_map_update
+    else:
+        ang_gate = jnp.abs(jax.vmap(rad_diff)(
+            match_pose[:, 2], states.last_update_pose[:, 2])) \
+            > cfg.min_angle_diff_for_map_update
+    do_update = ((dist2 > cfg.min_distance_diff_for_map_update ** 2)
+                 | ang_gate | force)
+
+    # ---- phase 3: gated updates, sequential over a fixed update budget -----
+    # Scan over min(B, update_capacity) slots instead of all B instances: the
+    # per-iteration loop overhead (~60 us of slice/cond/write) otherwise
+    # dominates when almost no gate fires.  Instances beyond the budget defer
+    # gracefully — their gate condition stays true (last_update_pose
+    # unchanged), so they update on the next scan.  With the reference's
+    # ~1-in-18 gate statistics, bursts beyond the budget are rare.
+    cap = min(b, 8)
+    order = jnp.argsort(~do_update, stable=True)      # firing instances first
+    chosen = order[:cap].astype(jnp.int32)            # distinct indices
+    chosen_gate = do_update[chosen]
+
+    def body(maps_all, inp):
+        i, gate, pose, pts, v = inp
+        m = jax.lax.dynamic_slice_in_dim(maps_all, i, 1, axis=0)[0]
+
+        def do(m):
+            cloud = Scan(pts, v, jnp.zeros(3, jnp.float32))
+            return hector.update_maps(m, cloud, pose, cfg)
+
+        m2 = jax.lax.cond(gate, do, lambda m: m, m)
+        maps_all = jax.lax.dynamic_update_slice_in_dim(maps_all, m2[None], i,
+                                                       axis=0)
+        return maps_all, None
+
+    new_maps, _ = jax.lax.scan(
+        body, states.maps,
+        (chosen, chosen_gate, match_pose[chosen], points[chosen],
+         valid[chosen]))
+
+    did_update = jnp.zeros(b, bool).at[chosen].set(chosen_gate)
+    new_last = jnp.where(did_update[:, None], match_pose,
+                         states.last_update_pose)
+    info = hector.HectorInfo(map_updated=did_update, residual=mstats.residual,
+                             gn_iterations=mstats.iterations,
+                             solve_failures=mstats.solve_failures)
+    return hector.HectorState(new_maps, match_pose, new_last), info
 
 
 def replay_fleet(states: hector.HectorState, radii, valids, angles,

@@ -118,9 +118,9 @@ def _pad_beams(x, pad_to: int, fill=0.0):
 
 
 def _lane_pad(n: int) -> int:
-    """Pad the beam axis to a multiple of 128 lanes (min 256) — measured ~4x
-    faster VPU schedules than ragged widths on v5e."""
-    return max(256, -(-n // 128) * 128)
+    """Pad the beam axis to a multiple of 128 lanes — measured ~4x faster VPU
+    schedules than ragged widths on v5e."""
+    return max(128, -(-n // 128) * 128)
 
 
 def match(state_maps: jnp.ndarray, scan: Scan,
@@ -144,10 +144,17 @@ def match_with_stats(state_maps: jnp.ndarray, scan: Scan,
     table = state_maps
     offsets = cfg.level_offsets
 
-    pad = _lane_pad(scan.points.shape[0])
-    X = _pad_beams(scan.points[:, 0], pad)
-    Y = _pad_beams(scan.points[:, 1], pad)
-    valid = _pad_beams(scan.valid, pad, fill=False)
+    pts = scan.points
+    vld = scan.valid
+    if cfg.match_subsample > 1:
+        # matcher-only beam subsampling (map updates keep every beam): the
+        # matcher is gather-rate-bound, so cost drops ~k-fold (docs/PERF.md)
+        pts = pts[::cfg.match_subsample]
+        vld = vld[::cfg.match_subsample]
+    pad = _lane_pad(pts.shape[0])
+    X = _pad_beams(pts[:, 0], pad)
+    Y = _pad_beams(pts[:, 1], pad)
+    valid = _pad_beams(vld, pad, fill=False)
 
     estimate = hint_pose_world
     any_valid = jnp.any(scan.valid)
@@ -174,7 +181,7 @@ def match_with_stats(state_maps: jnp.ndarray, scan: Scan,
                 i, p, _, f, rs, ni = carry
                 p2, ok, rs2, ni2 = gn.fused_gn_iteration_stats(
                     table, offsets[level], width, scale, p, X, Y, valid,
-                    cfg.deriv_clamp)
+                    cfg.deriv_clamp, cfg.xy_step_clamp_px)
                 return (i + 1, p2, jnp.sum((p2 - p) ** 2),
                         f + (~ok).astype(jnp.int32), rs2, ni2)
 
@@ -186,7 +193,7 @@ def match_with_stats(state_maps: jnp.ndarray, scan: Scan,
             for _ in range(n_iters):
                 est_px, ok, resid_sum, n_in = gn.fused_gn_iteration_stats(
                     table, offsets[level], width, scale, est_px, X, Y, valid,
-                    cfg.deriv_clamp)
+                    cfg.deriv_clamp, cfg.xy_step_clamp_px)
                 fails = fails + (~ok).astype(jnp.int32)
             iters = iters + n_iters
         th = normalize_angle(est_px[2])

@@ -287,7 +287,8 @@ def make_step(mesh: Mesh, cfg: HectorConfig, num_beams: int,
                                        width, scale, p, X, Y, valid, axes)
                 d0, d1, d2, H00, H01, H02, H11, H12, H22 = red[:9]
                 s0, s1, s2, ok = _solve_scalar(H00, H01, H02, H11, H12, H22,
-                                               d0, d1, d2, cfg.deriv_clamp)
+                                               d0, d1, d2, cfg.deriv_clamp,
+                                               cfg.xy_step_clamp_px)
                 return (jnp.stack([p[0] + s0, p[1] + s1, p[2] + s2]), ok,
                         red[9], red[10])
 

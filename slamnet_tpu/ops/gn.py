@@ -73,7 +73,8 @@ def solve_gn_step(H: jnp.ndarray, dtr: jnp.ndarray,
     return jnp.where(ok, step, jnp.zeros(3))
 
 
-def _solve_scalar(H00, H01, H02, H11, H12, H22, d0, d1, d2, clamp):
+def _solve_scalar(H00, H01, H02, H11, H12, H22, d0, d1, d2, clamp,
+                  xy_clamp: float = 0.0):
     """solve_gn_step on unpacked scalars — same math, no stack/cross/matmul ops.
 
     Measured ~23% faster per fused GN iteration than the stacked form (the hot
@@ -95,6 +96,13 @@ def _solve_scalar(H00, H01, H02, H11, H12, H22, d0, d1, d2, clamp):
     inv = jnp.where(ok, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
     s0 = (a0 * d0 + a1 * d1 + a2 * d2) * inv
     s1 = (a1 * d0 + b1 * d1 + b2 * d2) * inv
+    if xy_clamp > 0.0:
+        # robustness extension (NOT in the reference, which clamps theta only,
+        # ScanMatcher.cs:107-117): bound the translation step so a
+        # near-singular H in a degenerate view cannot throw the pose off-map
+        # (an off-map pose is unrecoverable — every gather masks out)
+        s0 = jnp.clip(s0, -xy_clamp, xy_clamp)
+        s1 = jnp.clip(s1, -xy_clamp, xy_clamp)
     s2 = jnp.clip((a2 * d0 + b2 * d1 + c2 * d2) * inv, -clamp, clamp)
     return s0, s1, s2, ok
 
@@ -122,7 +130,7 @@ def gn_iteration(logodds_flat, width, points, valid, pose_px, scale_to_map,
 # ---------------------------------------------------------------------------
 
 def _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
-                   deriv_clamp, with_stats: bool):
+                   deriv_clamp, with_stats: bool, xy_clamp: float = 0.0):
     """Shared body of the fused GN step; `with_stats` is a trace-time flag —
     when False the stats rows are never built (zero cost on the plain path)."""
     sr = jnp.sin(pose_px[2]) * scale
@@ -160,7 +168,7 @@ def _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
     red = jnp.stack(rows).sum(axis=1)
     d0, d1, d2, H00, H01, H02, H11, H12, H22 = red[:9]
     s0, s1, s2, solve_ok = _solve_scalar(H00, H01, H02, H11, H12, H22,
-                                         d0, d1, d2, deriv_clamp)
+                                         d0, d1, d2, deriv_clamp, xy_clamp)
     new_pose = jnp.stack([pose_px[0] + s0, pose_px[1] + s1, pose_px[2] + s2])
     if with_stats:
         return new_pose, solve_ok, red[9], red[10]
@@ -169,17 +177,71 @@ def _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
 
 def fused_gn_iteration(table: jnp.ndarray, offset: int, width: int,
                        scale: float, pose_px: jnp.ndarray, X, Y, valid,
-                       deriv_clamp: float = 0.2) -> jnp.ndarray:
+                       deriv_clamp: float = 0.2,
+                       xy_clamp: float = 0.0) -> jnp.ndarray:
     """One GN step against the level at `offset` inside the concatenated table."""
     return _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
-                          deriv_clamp, with_stats=False)
+                          deriv_clamp, with_stats=False, xy_clamp=xy_clamp)
 
 
 def fused_gn_iteration_stats(table: jnp.ndarray, offset: int, width: int,
                              scale: float, pose_px: jnp.ndarray, X, Y, valid,
-                             deriv_clamp: float = 0.2):
+                             deriv_clamp: float = 0.2, xy_clamp: float = 0.0):
     """fused_gn_iteration + matcher health: returns
     (new_pose f32[3], solve_ok bool, resid_sum f32 = sum (1-M(p))^2 over
     in-bounds valid beams, n_in f32 = that beam count)."""
     return _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
-                          deriv_clamp, with_stats=True)
+                          deriv_clamp, with_stats=True, xy_clamp=xy_clamp)
+
+
+def fused_gn_iteration_batch(tables: jnp.ndarray, offset: int, width: int,
+                             scale: float, poses_px: jnp.ndarray, X, Y, valid,
+                             deriv_clamp: float = 0.2, xy_clamp: float = 0.0):
+    """One GN step for B instances at once — the fleet matcher hot loop.
+
+    tables f32[B, C]; poses_px f32[B, 3]; X/Y f32[B, N]; valid bool[B, N].
+
+    NOT a vmap of fused_gn_iteration: a vmapped (batched-operand) gather lowers
+    to a serialized per-instance loop on TPU (measured ~350 us/instance at
+    B=64, docs/PERF.md).  Here the B tables are viewed as ONE flat [B*C] array
+    and the bilinear neighbors are ONE non-batched [4, B, N] gather with
+    explicit b*C + idx indices — the same lowering that makes the unbatched
+    matcher fast.  Returns (new_poses f32[B,3], solve_ok bool[B],
+    resid_sum f32[B], n_in f32[B]).
+    """
+    b, cells = tables.shape
+    flat = tables.reshape(-1)
+    sr = jnp.sin(poses_px[:, 2]) * scale            # [B]
+    cr = jnp.cos(poses_px[:, 2]) * scale
+    mx = cr[:, None] * X - sr[:, None] * Y + poses_px[:, 0][:, None]   # [B, N]
+    my = sr[:, None] * X + cr[:, None] * Y + poses_px[:, 1][:, None]
+    ok = valid & (mx >= 0.0) & (mx <= width - 2) & (my >= 0.0) \
+        & (my <= width - 2)
+    xi = jnp.clip(mx.astype(jnp.int32), 0, width - 2)
+    yi = jnp.clip(my.astype(jnp.int32), 0, width - 2)
+    base = (jnp.arange(b, dtype=jnp.int32)[:, None] * cells
+            + offset + yi * width + xi)
+    idx = jnp.stack([base, base + 1, base + width, base + width + 1])
+    v = jax.nn.sigmoid(jnp.take(flat, idx))        # [4, B, N]
+    fx = mx - xi
+    fy = my - yi
+    xf, yf = 1.0 - fx, 1.0 - fy
+    val = (v[0] * xf + v[1] * fx) * yf + (v[2] * xf + v[3] * fx) * fy
+    gx = -((v[0] - v[1]) * xf + (v[2] - v[3]) * fx)
+    gy = -((v[0] - v[2]) * yf + (v[1] - v[3]) * fy)
+    z = jnp.float32(0.0)
+    gx = jnp.where(ok, gx, z)
+    gy = jnp.where(ok, gy, z)
+    fun = jnp.where(ok, 1.0 - val, z)
+    rot = (-sr[:, None] * X - cr[:, None] * Y) * gx \
+        + (cr[:, None] * X - sr[:, None] * Y) * gy
+    red = jnp.stack([gx * fun, gy * fun, rot * fun,
+                     gx * gx, gx * gy, gx * rot,
+                     gy * gy, gy * rot, rot * rot,
+                     fun * fun, ok.astype(jnp.float32)]).sum(axis=2)  # [11, B]
+    d0, d1, d2, H00, H01, H02, H11, H12, H22 = red[:9]
+    s0, s1, s2, solve_ok = _solve_scalar(H00, H01, H02, H11, H12, H22,
+                                         d0, d1, d2, deriv_clamp, xy_clamp)
+    new_poses = jnp.stack([poses_px[:, 0] + s0, poses_px[:, 1] + s1,
+                           poses_px[:, 2] + s2], axis=1)
+    return new_poses, solve_ok, red[9], red[10]
