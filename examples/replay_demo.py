@@ -34,6 +34,11 @@ def main():
                     help="per-ray dropout probability (fault injection)")
     ap.add_argument("--render", metavar="DIR", default=None,
                     help="save final map/pose PNGs to DIR")
+    ap.add_argument("--metrics", metavar="FILE", default=None,
+                    help="write per-scan ScanMetrics JSONL (hector pipeline)")
+    ap.add_argument("--html", metavar="FILE", default=None,
+                    help="write a self-contained HTML live replay "
+                         "(hector pipeline: map levels + pose overlays)")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -181,21 +186,65 @@ def main():
             return hector.update(state, cloud, state.match_pose, hcfg,
                                  map_without_matching=bootstrap)
 
+        # first-class observability: structured per-scan records, the ring
+        # log, and the simulator's divergence oracle (io/metrics.py)
+        from slamnet_tpu.io.metrics import (DivergenceMonitor, EmaTimer,
+                                            RingLog, ScanMetrics)
+        ring = RingLog()
+        monitor = DivergenceMonitor(log=ring)
+        match_ema = EmaTimer()
+        records = []
+        recorder = None
+        if args.html:
+            from slamnet_tpu.io.live import ReplayRecorder
+            recorder = ReplayRecorder(hcfg, every=max(1, traj.shape[0] // 100))
+
         errs = []
         t0 = time.time()
         for t in range(traj.shape[0]):
             key, sub = jax.random.split(key)
-            hstate, hinfo = h_step(hstate, jnp.asarray(traj[t]), sub,
-                                   jnp.asarray(t < 10))
+            with match_ema.time():
+                hstate, hinfo = h_step(hstate, jnp.asarray(traj[t]), sub,
+                                       jnp.asarray(t < 10))
+                jax.block_until_ready(hstate.match_pose)
             errs.append(np.asarray(hstate.match_pose) - traj[t])
+            records.append(ScanMetrics(
+                scan_index=t,
+                pose=tuple(float(v) for v in np.asarray(hstate.match_pose)),
+                match_ms=match_ema.ms,
+                map_updated=bool(hinfo.map_updated),
+                gn_residual=float(hinfo.residual)))
+            ring.log(f"scan {t}: resid {float(hinfo.residual):.4f} "
+                     f"fails {int(hinfo.solve_failures)}")
+            if monitor.check(t, np.asarray(hstate.match_pose), traj[t]):
+                print("\n".join(monitor.report), file=sys.stderr)
+            if recorder is not None:
+                recorder.add(t, hstate.maps, hstate.match_pose, traj[t])
         jax.block_until_ready(hstate)
         dt = time.time() - t0
         errs = np.asarray(errs)
         pos = np.linalg.norm(errs[:, :2], axis=1)
+        upd = sum(1 for r in records if r.map_updated)
         results["hector"] = dict(
             ate=float(np.sqrt((pos ** 2).mean())), max_err=float(pos.max()),
             max_ang_deg=float(np.degrees(np.abs(errs[:, 2])).max()),
             scans_per_sec=traj.shape[0] / dt)
+        print(f"hector: {upd} map updates, match EMA {match_ema.ms:.2f} ms, "
+              f"final residual {records[-1].gn_residual:.4f}"
+              + (f", DIVERGED at {monitor.diverged_at}"
+                 if monitor.diverged_at is not None else ""))
+        if args.metrics:
+            import dataclasses as _dc
+            import json as _json
+            with open(args.metrics, "w") as f:
+                for r in records:
+                    f.write(_json.dumps(_dc.asdict(r)) + "\n")
+            print(f"wrote {len(records)} ScanMetrics records to {args.metrics}")
+        if recorder is not None:
+            recorder.write(args.html,
+                           title=f"HectorSLAM replay - {args.trajectory}")
+            print(f"wrote HTML replay ({len(recorder.frames)} frames) "
+                  f"to {args.html}")
 
     if args.render:
         os.makedirs(args.render, exist_ok=True)
