@@ -20,6 +20,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--scans", type=int, default=64)
+    ap.add_argument("--subsample", type=int, default=1,
+                    help="matcher beam subsample (bench_fleet uses 4)")
     args = ap.parse_args()
 
     import jax
@@ -31,7 +33,8 @@ def main():
     from slamnet_tpu.sim import default_field, lidar
     from slamnet_tpu.sim.trajectory import loop_trajectory
 
-    cfg = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4))
+    cfg = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4),
+                       xy_step_clamp_px=10.0, match_subsample=args.subsample)
     sim = SimConfig()
     B, T = args.batch, args.scans
     boot = 10

@@ -35,6 +35,47 @@ def test_sharded_search_matches_reference_semantics():
     assert int(gmin) <= int(s0[0])
 
 
+def test_sharded_search_equals_dense_same_candidates():
+    """The sharded search must equal a single-device argmin over the SAME
+    candidate set.  Candidate generation is deterministic (per-shard key =
+    fold_in(key, shard_idx), shard 0's first candidate unperturbed), so the
+    global set can be rebuilt densely: concatenating the per-shard draws in
+    shard order makes first-shard-wins == first-index-wins."""
+    mesh = make_mesh({"search": 8})
+    size, scale = 64, 1.6
+    rng = np.random.default_rng(7)
+    hole = jnp.asarray(rng.integers(0, 65500, size * size), jnp.int32)
+    pts = jnp.asarray(rng.uniform(-10, 10, (128, 2)), jnp.float32)
+    valid = jnp.asarray(rng.random(128) > 0.1)
+    pose = jnp.asarray([20.0, 20.0, 0.1], jnp.float32)
+    num_candidates, n_shards = 1024, 8
+    sigma_xy, sigma_theta = 0.1, 0.1
+    key = jax.random.PRNGKey(11)
+
+    best, gmin = search.sharded_monte_carlo_search(
+        mesh, hole, size, scale, pts, valid, pose, sigma_xy, sigma_theta,
+        num_candidates, key)
+
+    # rebuild the identical global candidate set on one device
+    local_b = num_candidates // n_shards
+    shard_cands = []
+    for idx in range(n_shards):
+        kxy, kth = jax.random.split(jax.random.fold_in(key, idx))
+        dxy = jax.random.normal(kxy, (local_b, 2)) * sigma_xy
+        dth = jax.random.normal(kth, (local_b, 1)) * sigma_theta
+        deltas = jnp.concatenate([dxy, dth], axis=1)
+        if idx == 0:
+            deltas = deltas.at[0].set(0.0)
+        shard_cands.append(pose[None, :] + deltas)
+    cands = jnp.concatenate(shard_cands, axis=0)
+
+    sums, nb = score.score_candidates(hole, size, scale, pts, valid, cands)
+    eff = np.where(np.asarray(nb) > 0, np.asarray(sums), score.INT32_MAX)
+    bi = int(np.argmin(eff))
+    assert int(gmin) == int(eff[bi])
+    np.testing.assert_array_equal(np.asarray(best), np.asarray(cands[bi]))
+
+
 def test_sharded_hessian_equals_dense():
     mesh = make_mesh({"beam": 8})
     width = 64
