@@ -24,6 +24,15 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--scans", type=int, default=128)
     ap.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
+    ap.add_argument("--dense", action="store_true",
+                    help="dense polar free-fill updates (faster than line "
+                         "scatter under the fleet update scan)")
+    ap.add_argument("--subsample", type=int, default=4,
+                    help="matcher beam subsample (map updates keep all beams)")
+    ap.add_argument("--capacity", type=int, default=8,
+                    help="gated map-update budget per batch-scan")
+    ap.add_argument("--damping", type=float, default=0.0,
+                    help="Levenberg diagonal damping (gn_damping)")
     args = ap.parse_args()
 
     import os
@@ -45,7 +54,10 @@ def main():
     # slices bootstrap at a degenerate top-corridor view where an unclamped GN
     # step throws the pose off-map; the clamp bounds them — see docs/PERF.md)
     cfg = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4),
-                       xy_step_clamp_px=10.0, match_subsample=4)
+                       xy_step_clamp_px=10.0, match_subsample=args.subsample,
+                       dense_free_fill=args.dense,
+                       fleet_update_capacity=args.capacity,
+                       gn_damping=args.damping)
     sim = SimConfig()
     B, T = args.batch, args.scans
     boot = 10

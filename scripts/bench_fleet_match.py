@@ -75,8 +75,8 @@ def main():
     def full_variant(tables, poses, X, Y, V):
         def body(carry, _):
             tb, p = carry
-            p2, ok, rs, ni = gn.fused_gn_iteration_batch(tb, 0, width, 10.0,
-                                                         p, X, Y, V)
+            p2, ok, rs, ni = gn.fused_gn_iteration_batch(
+                tb.reshape(-1), C, 0, width, 10.0, p, X, Y, V)
             tb = tb + rs.sum() * 1e-30
             return (tb, p2), None
         return jax.lax.scan(body, (tables, poses), None, length=iters)
@@ -84,8 +84,8 @@ def main():
     @jax.jit
     def full_invariant(tables, poses, X, Y, V):
         def body(p, _):
-            p2, ok, rs, ni = gn.fused_gn_iteration_batch(tables, 0, width,
-                                                         10.0, p, X, Y, V)
+            p2, ok, rs, ni = gn.fused_gn_iteration_batch(
+                tables.reshape(-1), C, 0, width, 10.0, p, X, Y, V)
             return p2, None
         return jax.lax.scan(body, poses, None, length=iters)
 

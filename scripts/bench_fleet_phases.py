@@ -53,8 +53,9 @@ def main():
     def match_only(states, radii, valids):
         def body(sts, inp):
             r, v = inp
-            matched, _ = fleet._match_batch(sts.maps, pts_of(r), v,
-                                            sts.match_pose, cfg)
+            matched, _ = fleet._match_batch(sts.maps, fleet.fleet_cells(cfg),
+                                            pts_of(r), v, sts.match_pose,
+                                            cfg)
             sts = sts._replace(match_pose=matched)
             return sts, matched
         return jax.lax.scan(body, states, (radii, valids))
@@ -63,8 +64,9 @@ def main():
     def match_gate(states, radii, valids):
         def body(sts, inp):
             r, v = inp
-            matched, _ = fleet._match_batch(sts.maps, pts_of(r), v,
-                                            sts.match_pose, cfg)
+            matched, _ = fleet._match_batch(sts.maps, fleet.fleet_cells(cfg),
+                                            pts_of(r), v, sts.match_pose,
+                                            cfg)
             dist2 = jnp.sum((matched[:, :2]
                              - sts.last_update_pose[:, :2]) ** 2, axis=1)
             do_update = dist2 > 1e18
@@ -81,15 +83,18 @@ def main():
         def body(sts, inp):
             r, v = inp
             pts = pts_of(r)
-            matched, _ = fleet._match_batch(sts.maps, pts, v,
-                                            sts.match_pose, cfg)
+            matched, _ = fleet._match_batch(sts.maps, fleet.fleet_cells(cfg),
+                                            pts, v, sts.match_pose, cfg)
             do_update = jnp.zeros(matched.shape[0], bool)
             order = jnp.argsort(~do_update, stable=True)
             chosen = order[:8].astype(jnp.int32)
 
-            def slot(maps_all, inp2):
+            cells = fleet.fleet_cells(cfg)
+
+            def slot(maps_flat, inp2):
                 i, gate, pose, p, vv = inp2
-                m = jax.lax.dynamic_slice_in_dim(maps_all, i, 1, axis=0)[0]
+                m = jax.lax.dynamic_slice_in_dim(maps_flat, i * cells, cells,
+                                                 axis=0)
 
                 def do(m):
                     cloud = Scan(p, vv, jnp.zeros(3, jnp.float32))
@@ -97,7 +102,7 @@ def main():
 
                 m2 = jax.lax.cond(gate, do, lambda m: m, m)
                 return jax.lax.dynamic_update_slice_in_dim(
-                    maps_all, m2[None], i, axis=0), None
+                    maps_flat, m2, i * cells, axis=0), None
 
             new_maps, _ = jax.lax.scan(
                 slot, sts.maps,

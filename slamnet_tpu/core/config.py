@@ -130,6 +130,18 @@ class HectorConfig(_Overlayable):
     # recovery (the reference has the same failure mode, README.md:39).
     # > 0: robustness extension — per-iteration translation step bounded to
     # +/- this many map pixels (recommended ~10 for production serving).
+    gn_damping: float = 0.0
+    # 0 (default): reference parity — raw Gauss-Newton solve.
+    # > 0: Levenberg-style robustness extension — H's diagonal scaled by
+    # (1 + gn_damping), shrinking the step along poorly-observed directions
+    # (corridor views make H near-singular along the corridor axis and a raw
+    # GN step can throw the pose off-map; the reference shares this failure
+    # mode, README.md:39).  ~0.1 recommended for production serving.
+    fleet_update_capacity: int = 8
+    # Max instances whose gated map update runs per fleet batch-scan
+    # (models/fleet.update_fleet phase 3).  Instances beyond the budget defer
+    # one scan (their gate stays armed).  Size it >= B/18 + burst margin so
+    # deferral stays rare under the reference's ~1-in-18 gate statistics.
     offset: Tuple[float, float] = (0.0, 0.0)  # map offset (MapRepMultiMap passes zero)
 
     @property

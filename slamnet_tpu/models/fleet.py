@@ -36,18 +36,32 @@ from . import hector
 
 
 def init_fleet(cfg: HectorConfig, start_poses) -> hector.HectorState:
-    """Batched HectorState for B instances; start_poses f32[B, 3]."""
+    """Batched HectorState for B instances; start_poses f32[B, 3].
+
+    `maps` is carried FLAT as f32[B*C] (C = cells per instance pyramid,
+    `fleet_cells(cfg)`): the matcher gathers with explicit b*C + idx indices,
+    and a flat carry means the gather operand needs no per-iteration reshape/
+    relayout of the whole table (docs/PERF.md rule 1).  Use
+    `states.maps.reshape(B, -1)` for per-instance views.
+    """
     start_poses = jnp.asarray(start_poses, jnp.float32)
 
     def one(p):
         return hector.init(cfg, p)
 
-    return jax.vmap(one)(start_poses)
+    states = jax.vmap(one)(start_poses)
+    return states._replace(maps=states.maps.reshape(-1))
 
 
-def _match_batch(tables, points, valid, hints, cfg: HectorConfig):
+def fleet_cells(cfg: HectorConfig) -> int:
+    """Cells in one instance's concatenated pyramid table."""
+    return sum(w * w for w in cfg.level_sizes)
+
+
+def _match_batch(flat, cells, points, valid, hints, cfg: HectorConfig):
     """Coarse-to-fine pyramid match for B instances (models/hector.match
-    semantics, batched).  tables f32[B, C]; points f32[B, N, 2]; hints f32[B, 3].
+    semantics, batched).  flat f32[B*cells]; points f32[B, N, 2];
+    hints f32[B, 3].
     Returns (poses f32[B, 3], MatchStats with [B]-shaped fields)."""
     b = points.shape[0]
     if cfg.match_subsample > 1:
@@ -91,8 +105,9 @@ def _match_batch(tables, points, valid, hints, cfg: HectorConfig):
             def body(carry):
                 i, p, _, f, rs, ni = carry
                 p2, ok, rs2, ni2 = gn.fused_gn_iteration_batch(
-                    tables, offset, width, scale, p, X, Y, V, cfg.deriv_clamp,
-                    cfg.xy_step_clamp_px)
+                    flat, cells, offset, width, scale, p, X, Y, V,
+                    cfg.deriv_clamp, cfg.xy_step_clamp_px,
+                    cfg.gn_damping)
                 return (i + 1, p2, jnp.sum((p2 - p) ** 2, axis=1),
                         f + (~ok).astype(jnp.int32), rs2, ni2)
 
@@ -104,8 +119,9 @@ def _match_batch(tables, points, valid, hints, cfg: HectorConfig):
         else:
             for _ in range(n_iters):
                 est_px, ok, resid_sum, n_in = gn.fused_gn_iteration_batch(
-                    tables, offset, width, scale, est_px, X, Y, V,
-                    cfg.deriv_clamp, cfg.xy_step_clamp_px)
+                    flat, cells, offset, width, scale, est_px, X, Y, V,
+                    cfg.deriv_clamp, cfg.xy_step_clamp_px,
+                    cfg.gn_damping)
                 fails = fails + (~ok).astype(jnp.int32)
             iters = iters + n_iters
         th = jax.vmap(normalize_angle)(est_px[:, 2])
@@ -121,13 +137,16 @@ def _match_batch(tables, points, valid, hints, cfg: HectorConfig):
 def update_fleet(states: hector.HectorState, points, valid, cfg: HectorConfig,
                  map_without_matching=False) -> Tuple[hector.HectorState,
                                                       hector.HectorInfo]:
-    """One scan step for every instance; points f32[B, N, 2], valid bool[B, N]."""
+    """One scan step for every instance; points f32[B, N, 2], valid bool[B, N].
+
+    states.maps is the FLAT f32[B*C] fleet table (see init_fleet)."""
     b = points.shape[0]
+    cells = fleet_cells(cfg)
     force = jnp.broadcast_to(jnp.asarray(map_without_matching), (b,))
 
     # ---- phase 1: batched matching (ONE flat gather per GN iteration — a
     # vmapped matcher serializes per instance, ops/gn.fused_gn_iteration_batch)
-    matched, mstats = _match_batch(states.maps, points, valid,
+    matched, mstats = _match_batch(states.maps, cells, points, valid,
                                    states.match_pose, cfg)
     match_pose = jnp.where(force[:, None], states.match_pose, matched)
 
@@ -147,33 +166,40 @@ def update_fleet(states: hector.HectorState, points, valid, cfg: HectorConfig,
 
     # ---- phase 3: gated updates, sequential over a fixed update budget -----
     # Scan over min(B, update_capacity) slots instead of all B instances: the
-    # per-iteration loop overhead (~60 us of slice/cond/write) otherwise
-    # dominates when almost no gate fires.  Instances beyond the budget defer
-    # gracefully — their gate condition stays true (last_update_pose
-    # unchanged), so they update on the next scan.  With the reference's
-    # ~1-in-18 gate statistics, bursts beyond the budget are rare.
-    cap = min(b, 8)
+    # per-iteration loop overhead otherwise dominates when almost no gate
+    # fires.  Instances beyond the budget defer gracefully — their gate
+    # condition stays true (last_update_pose unchanged), so they update on the
+    # next scan.  With the reference's ~1-in-18 gate statistics, bursts beyond
+    # the budget are rare.
+    #
+    # The scan carries ONLY the [cap, cells] chosen rows, NOT the whole
+    # [B*cells] table: carrying the full table makes every slot's
+    # dynamic_update_slice a candidate full-table copy (measured ~3.3
+    # ms/batch-scan of machinery at B=64).  Chosen rows are row-gathered
+    # before and row-scattered after — 2*cap*cells of contiguous traffic.
+    cap = min(b, cfg.fleet_update_capacity)
     order = jnp.argsort(~do_update, stable=True)      # firing instances first
     chosen = order[:cap].astype(jnp.int32)            # distinct indices
     chosen_gate = do_update[chosen]
 
-    def body(maps_all, inp):
-        i, gate, pose, pts, v = inp
-        m = jax.lax.dynamic_slice_in_dim(maps_all, i, 1, axis=0)[0]
+    maps_2d = states.maps.reshape(b, cells)
+    chosen_maps = jnp.take(maps_2d, chosen, axis=0)   # [cap, cells]
+
+    def body(_, inp):
+        m, gate, pose, pts, v = inp
 
         def do(m):
             cloud = Scan(pts, v, jnp.zeros(3, jnp.float32))
             return hector.update_maps(m, cloud, pose, cfg)
 
         m2 = jax.lax.cond(gate, do, lambda m: m, m)
-        maps_all = jax.lax.dynamic_update_slice_in_dim(maps_all, m2[None], i,
-                                                       axis=0)
-        return maps_all, None
+        return 0, m2
 
-    new_maps, _ = jax.lax.scan(
-        body, states.maps,
-        (chosen, chosen_gate, match_pose[chosen], points[chosen],
+    _, updated = jax.lax.scan(
+        body, 0,
+        (chosen_maps, chosen_gate, match_pose[chosen], points[chosen],
          valid[chosen]))
+    new_maps = maps_2d.at[chosen].set(updated).reshape(-1)
 
     did_update = jnp.zeros(b, bool).at[chosen].set(chosen_gate)
     new_last = jnp.where(did_update[:, None], match_pose,

@@ -181,7 +181,8 @@ def match_with_stats(state_maps: jnp.ndarray, scan: Scan,
                 i, p, _, f, rs, ni = carry
                 p2, ok, rs2, ni2 = gn.fused_gn_iteration_stats(
                     table, offsets[level], width, scale, p, X, Y, valid,
-                    cfg.deriv_clamp, cfg.xy_step_clamp_px)
+                    cfg.deriv_clamp, cfg.xy_step_clamp_px,
+                    cfg.gn_damping)
                 return (i + 1, p2, jnp.sum((p2 - p) ** 2),
                         f + (~ok).astype(jnp.int32), rs2, ni2)
 
@@ -193,7 +194,8 @@ def match_with_stats(state_maps: jnp.ndarray, scan: Scan,
             for _ in range(n_iters):
                 est_px, ok, resid_sum, n_in = gn.fused_gn_iteration_stats(
                     table, offsets[level], width, scale, est_px, X, Y, valid,
-                    cfg.deriv_clamp, cfg.xy_step_clamp_px)
+                    cfg.deriv_clamp, cfg.xy_step_clamp_px,
+                    cfg.gn_damping)
                 fails = fails + (~ok).astype(jnp.int32)
             iters = iters + n_iters
         th = normalize_angle(est_px[2])

@@ -74,17 +74,27 @@ def solve_gn_step(H: jnp.ndarray, dtr: jnp.ndarray,
 
 
 def _solve_scalar(H00, H01, H02, H11, H12, H22, d0, d1, d2, clamp,
-                  xy_clamp: float = 0.0):
+                  xy_clamp: float = 0.0, damping: float = 0.0):
     """solve_gn_step on unpacked scalars — same math, no stack/cross/matmul ops.
 
     Measured ~23% faster per fused GN iteration than the stacked form (the hot
     loop is tiny-op-scheduling bound, docs/PERF.md); kept private to the fused
     matcher, the public solve_gn_step stays the readable API.
 
+    damping > 0 is a Levenberg-style robustness extension (NOT in the
+    reference): H's diagonal is scaled by (1 + damping), which shrinks the
+    step along poorly-observed directions (a straight corridor makes H nearly
+    singular along the corridor axis, and the unregularized step can throw
+    the pose off-map — the reference has the same failure mode, README.md:39).
+
     Returns (s0, s1, s2, ok) — ok mirrors the reference's solve guards
     (ScanMatcher.cs:97-103): when False the step is zero and the caller may
     count/log the failure (the reference logs "H is not invertible").
     """
+    if damping > 0.0:
+        H00 = H00 * (1.0 + damping)
+        H11 = H11 * (1.0 + damping)
+        H22 = H22 * (1.0 + damping)
     a0 = H11 * H22 - H12 * H12            # adjugate upper triangle
     a1 = H02 * H12 - H01 * H22
     a2 = H01 * H12 - H02 * H11
@@ -130,7 +140,8 @@ def gn_iteration(logodds_flat, width, points, valid, pose_px, scale_to_map,
 # ---------------------------------------------------------------------------
 
 def _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
-                   deriv_clamp, with_stats: bool, xy_clamp: float = 0.0):
+                   deriv_clamp, with_stats: bool, xy_clamp: float = 0.0,
+                   damping: float = 0.0):
     """Shared body of the fused GN step; `with_stats` is a trace-time flag —
     when False the stats rows are never built (zero cost on the plain path)."""
     sr = jnp.sin(pose_px[2]) * scale
@@ -168,7 +179,8 @@ def _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
     red = jnp.stack(rows).sum(axis=1)
     d0, d1, d2, H00, H01, H02, H11, H12, H22 = red[:9]
     s0, s1, s2, solve_ok = _solve_scalar(H00, H01, H02, H11, H12, H22,
-                                         d0, d1, d2, deriv_clamp, xy_clamp)
+                                         d0, d1, d2, deriv_clamp, xy_clamp,
+                                         damping)
     new_pose = jnp.stack([pose_px[0] + s0, pose_px[1] + s1, pose_px[2] + s2])
     if with_stats:
         return new_pose, solve_ok, red[9], red[10]
@@ -178,39 +190,45 @@ def _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
 def fused_gn_iteration(table: jnp.ndarray, offset: int, width: int,
                        scale: float, pose_px: jnp.ndarray, X, Y, valid,
                        deriv_clamp: float = 0.2,
-                       xy_clamp: float = 0.0) -> jnp.ndarray:
+                       xy_clamp: float = 0.0,
+                       damping: float = 0.0) -> jnp.ndarray:
     """One GN step against the level at `offset` inside the concatenated table."""
     return _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
-                          deriv_clamp, with_stats=False, xy_clamp=xy_clamp)
+                          deriv_clamp, with_stats=False, xy_clamp=xy_clamp,
+                          damping=damping)
 
 
 def fused_gn_iteration_stats(table: jnp.ndarray, offset: int, width: int,
                              scale: float, pose_px: jnp.ndarray, X, Y, valid,
-                             deriv_clamp: float = 0.2, xy_clamp: float = 0.0):
+                             deriv_clamp: float = 0.2, xy_clamp: float = 0.0,
+                             damping: float = 0.0):
     """fused_gn_iteration + matcher health: returns
     (new_pose f32[3], solve_ok bool, resid_sum f32 = sum (1-M(p))^2 over
     in-bounds valid beams, n_in f32 = that beam count)."""
     return _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
-                          deriv_clamp, with_stats=True, xy_clamp=xy_clamp)
+                          deriv_clamp, with_stats=True, xy_clamp=xy_clamp,
+                          damping=damping)
 
 
-def fused_gn_iteration_batch(tables: jnp.ndarray, offset: int, width: int,
-                             scale: float, poses_px: jnp.ndarray, X, Y, valid,
-                             deriv_clamp: float = 0.2, xy_clamp: float = 0.0):
+def fused_gn_iteration_batch(flat: jnp.ndarray, cells: int, offset: int,
+                             width: int, scale: float, poses_px: jnp.ndarray,
+                             X, Y, valid, deriv_clamp: float = 0.2,
+                             xy_clamp: float = 0.0, damping: float = 0.0):
     """One GN step for B instances at once — the fleet matcher hot loop.
 
-    tables f32[B, C]; poses_px f32[B, 3]; X/Y f32[B, N]; valid bool[B, N].
+    flat f32[B*cells] — ALL instance pyramids as ONE flat array (the caller
+    carries it flat; never reshape a [B, C] carry here, a reshape inside the
+    per-iteration loop forces a relayout of the whole table per GN step);
+    poses_px f32[B, 3]; X/Y f32[B, N]; valid bool[B, N].
 
     NOT a vmap of fused_gn_iteration: a vmapped (batched-operand) gather lowers
     to a serialized per-instance loop on TPU (measured ~350 us/instance at
-    B=64, docs/PERF.md).  Here the B tables are viewed as ONE flat [B*C] array
-    and the bilinear neighbors are ONE non-batched [4, B, N] gather with
-    explicit b*C + idx indices — the same lowering that makes the unbatched
-    matcher fast.  Returns (new_poses f32[B,3], solve_ok bool[B],
+    B=64, docs/PERF.md).  The bilinear neighbors are ONE non-batched [4, B, N]
+    gather with explicit b*cells + idx indices — the same lowering that makes
+    the unbatched matcher fast.  Returns (new_poses f32[B,3], solve_ok bool[B],
     resid_sum f32[B], n_in f32[B]).
     """
-    b, cells = tables.shape
-    flat = tables.reshape(-1)
+    b = poses_px.shape[0]
     sr = jnp.sin(poses_px[:, 2]) * scale            # [B]
     cr = jnp.cos(poses_px[:, 2]) * scale
     mx = cr[:, None] * X - sr[:, None] * Y + poses_px[:, 0][:, None]   # [B, N]
@@ -241,7 +259,8 @@ def fused_gn_iteration_batch(tables: jnp.ndarray, offset: int, width: int,
                      fun * fun, ok.astype(jnp.float32)]).sum(axis=2)  # [11, B]
     d0, d1, d2, H00, H01, H02, H11, H12, H22 = red[:9]
     s0, s1, s2, solve_ok = _solve_scalar(H00, H01, H02, H11, H12, H22,
-                                         d0, d1, d2, deriv_clamp, xy_clamp)
+                                         d0, d1, d2, deriv_clamp, xy_clamp,
+                                         damping)
     new_poses = jnp.stack([poses_px[:, 0] + s0, poses_px[:, 1] + s1,
                            poses_px[:, 2] + s2], axis=1)
     return new_poses, solve_ok, red[9], red[10]

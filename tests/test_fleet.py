@@ -41,8 +41,7 @@ def test_fleet_tracks_multiple_poses():
     err = np.asarray(states.match_pose) - starts
     assert np.linalg.norm(err[:, :2], axis=1).max() < 0.3
     # instances built DIFFERENT maps (different viewpoints)
-    m = np.asarray(states.maps)
-    assert m.shape[0] == b
+    m = np.asarray(states.maps).reshape(b, -1)
     occupied = (m > 0).sum(axis=1)
     assert (occupied > 50).all()
     assert np.abs(np.diff(occupied)).max() > 0   # not identical
@@ -70,5 +69,5 @@ def test_fleet_matches_unbatched_single_instance():
                                       map_without_matching=boot)
     np.testing.assert_allclose(np.asarray(batch.match_pose[0]),
                                np.asarray(single.match_pose), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(batch.maps[0]),
+    np.testing.assert_allclose(np.asarray(batch.maps),
                                np.asarray(single.maps), atol=1e-5)
