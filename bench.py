@@ -147,6 +147,10 @@ def main():
     # correlative grid search + dense polar map fills).
     core = bench_coreslam(radii, valids, angles, traj, n_scans, bootstrap)
 
+    # Fleet serving (secondary metric): B batched instances on one chip,
+    # phase-shifted slices of the same scan log (models/fleet.py).
+    flt = bench_fleet(radii, valids, angles, traj, scans_per_sec)
+
     print(json.dumps({
         "metric": "hector_3level_400x400_scans_per_sec_per_chip",
         "value": round(scans_per_sec, 1),
@@ -162,8 +166,68 @@ def main():
         "n_scans": n_scans,
         "device": str(jax.devices()[0]),
         **core,
+        **flt,
     }))
     return 0
+
+
+def bench_fleet(radii, valids, angles, traj, single_rate):
+    """Fleet throughput: B batched Hector instances, each replaying a
+    phase-shifted slice of the bench scan log (gates fire desynchronized at
+    the reference's ~1-in-18 statistics).  Production serving config:
+    matcher subsample 4 + translation step clamp (docs/PERF.md)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from slamnet_tpu.core import HectorConfig
+    from slamnet_tpu.models import fleet
+
+    B, T, boot = 64, 64, 10
+    cfg = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4),
+                       xy_step_clamp_px=10.0, match_subsample=4)
+    total = radii.shape[0]
+    starts = np.linspace(0, total - (T + boot), B).astype(int)
+    r = jnp.stack([radii[s:s + T + boot] for s in starts], axis=1)
+    v = jnp.stack([valids[s:s + T + boot] for s in starts], axis=1)
+    tr = np.stack([traj[s:s + T + boot] for s in starts], axis=1)
+    tr_d = jax.device_put(jnp.asarray(tr), radii.devices().pop())
+
+    states = fleet.init_fleet(cfg, tr[0])
+
+    @jax.jit
+    def boot_step(states, r1, v1, poses):
+        pts = jnp.stack([r1 * jnp.cos(angles)[None],
+                         r1 * jnp.sin(angles)[None]], -1)
+        states = states._replace(match_pose=poses)
+        states, _ = fleet.update_fleet(states, pts, v1, cfg,
+                                       map_without_matching=True)
+        return states
+
+    for t in range(boot):
+        states = boot_step(states, r[t], v[t], tr_d[t])
+    jax.block_until_ready(states)
+
+    replay = jax.jit(lambda s, rr, vv: fleet.replay_fleet(s, rr, vv, angles,
+                                                          cfg))
+    stf, poses = replay(states, r[boot:], v[boot:])
+    jax.block_until_ready(stf)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        stf, poses = replay(states, r[boot:], v[boot:])
+        jax.block_until_ready(stf)
+        best = min(best, time.time() - t0)
+
+    pe = np.linalg.norm(np.asarray(poses)[:, :, :2] - tr[boot:, :, :2],
+                        axis=-1)
+    rate = T * B / best
+    return {
+        "fleet_batch": B,
+        "fleet_instance_scans_per_sec": round(rate, 1),
+        "fleet_vs_single_instance": round(rate / single_rate, 2),
+        "fleet_ate_m": round(float(np.sqrt((pe ** 2).mean())), 4),
+    }
 
 
 def bench_coreslam(radii, valids, angles, traj, n_scans, bootstrap):
