@@ -10,7 +10,10 @@ Replays 512 scans on device (lax.scan), best-of-5, isolating each phase:
   E. full parity pipeline (MC-4096 + line scatters) for contrast
 """
 import dataclasses
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import numpy as np
 import jax

@@ -86,6 +86,20 @@ def update_hole_map(hole_map_flat: jnp.ndarray, size: int, scale: float,
     return jnp.where(robot_in, new, hole_map_flat)
 
 
+def _onehot_lookup(table: jnp.ndarray, idx: jnp.ndarray,
+                   n_bins: int) -> jnp.ndarray:
+    """table[idx] for a SMALL table and a large index field, as a one-hot
+    matmul instead of a gather: XLA's TPU gather runs ~130M indices/s (the
+    dense fills' dominant cost, docs/PERF.md), while materializing the
+    [cells, n_bins] one-hot and contracting it on the MXU is plain
+    bandwidth/matmul work.  Exact: one-hot rows are {0,1} and each row selects
+    exactly one f32 table entry."""
+    oh = (idx[..., None] == jnp.arange(n_bins, dtype=idx.dtype)).astype(
+        jnp.float32)
+    return jnp.dot(oh.reshape(-1, n_bins), table,
+                   preferred_element_type=jnp.float32).reshape(idx.shape)
+
+
 def update_hole_map_dense(hole_map_flat: jnp.ndarray, size: int, scale: float,
                           points: jnp.ndarray, valid: jnp.ndarray,
                           pose: jnp.ndarray, hole_width: float, quality: int,
@@ -137,7 +151,12 @@ def update_hole_map_dense(hole_map_flat: jnp.ndarray, size: int, scale: float,
     big = jnp.float32(1e9)
     table = jnp.full(angle_bins, big, jnp.float32).at[
         jnp.where(beam_ok, bins, 0)].min(jnp.where(beam_ok, dist, big))
-    has_beam = table < big
+    # encode "no beam in this sector" as -big IN the range table: the per-cell
+    # pass then needs ONE 65k-index gather instead of two (range + has_beam) —
+    # the cell pass is gather-rate-bound (~130M gathered elem/s on v5e,
+    # docs/PERF.md), so this halves its dominant cost.  r_m = -big makes
+    # `covered` false exactly where has_beam was false (r_c >= 0 > -big+hw2).
+    table = jnp.where(table < big, table, -big)
 
     # dense per-cell pass (cell centers at +0.5 in continuous pixel space)
     yy = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
@@ -148,8 +167,8 @@ def update_hole_map_dense(hole_map_flat: jnp.ndarray, size: int, scale: float,
     cbin = jnp.clip(((jnp.arctan2(dy, dx) + jnp.pi)
                      * (angle_bins / (2.0 * jnp.pi))).astype(jnp.int32),
                     0, angle_bins - 1)
-    r_m = jnp.take(table, cbin)
-    covered = jnp.take(has_beam, cbin) & (r_c < r_m + hw2)
+    r_m = _onehot_lookup(table, cbin, angle_bins)
+    covered = r_c < r_m + hw2
 
     # V-profile value at radial distance r_c
     ramp = jnp.clip(1.0 - jnp.abs(r_c - r_m) / jnp.maximum(hw2, 1e-6), 0.0, 1.0)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.geometry import csharp_trunc
+from .holemap import _onehot_lookup
 from .rasterize import rosetta_line_cells
 
 
@@ -120,7 +121,10 @@ def update_obstacle_map_dense(obstacle_map: jnp.ndarray, size: int,
     big = jnp.float32(1e9)
     table = jnp.full(angle_bins, big, jnp.float32).at[
         jnp.where(beam_ok, bins, 0)].min(jnp.where(beam_ok, dist, big))
-    has_beam = table < big
+    # "no beam" encoded as -big in the range table: one gather instead of two
+    # (range + has_beam) — the per-cell pass is gather-rate-bound
+    # (ops/holemap.py has the same optimization, docs/PERF.md)
+    table = jnp.where(table < big, table, -big)
 
     yy = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
@@ -130,9 +134,9 @@ def update_obstacle_map_dense(obstacle_map: jnp.ndarray, size: int,
     cbin = jnp.clip(((jnp.arctan2(dy, dx) + jnp.pi)
                      * (angle_bins / (2.0 * jnp.pi))).astype(jnp.int32),
                     0, angle_bins - 1)
-    # strictly before the endpoint cell (the line mode's intermediate cells)
-    traversed = (jnp.take(has_beam, cbin)
-                 & (r_c < jnp.take(table, cbin) - 0.5)).reshape(-1)
+    # strictly before the endpoint cell (the line mode's intermediate cells);
+    # r_m = -big makes `traversed` false exactly where no beam hit the sector
+    traversed = (r_c < _onehot_lookup(table, cbin, angle_bins) - 0.5).reshape(-1)
 
     v0 = obstacle_map.reshape(-1).astype(jnp.int32)
     v1 = jnp.minimum(v0 + hit_cnt, jnp.maximum(v0, max_hits))
