@@ -181,6 +181,7 @@ def rebuild_maps_sharded(mesh, state: GraphSlamState, hcfg: HectorConfig,
     assert kf_k % n_search == 0, (kf_k, n_search)
     per = kf_k // n_search
     loffs = hector_sharded.local_level_offsets(hcfg, n_tiles)
+    lrows = hector_sharded.level_rows(hcfg, n_tiles)
     ncells = hector_sharded.local_cells(hcfg, n_tiles)
 
     def local(kf_pts, kf_valid, poses, node_valid):
@@ -205,7 +206,7 @@ def rebuild_maps_sharded(mesh, state: GraphSlamState, hcfg: HectorConfig,
             new = loc
             for level in range(hcfg.num_levels):
                 width = hcfg.level_sizes[level]
-                rows = width // n_tiles
+                rows = lrows[level]
                 new = hector_sharded._level_update_local(
                     new, loffs[level], width, rows, tile * rows, width,
                     pts[:, 0], pts[:, 1], v, poses[k],
@@ -218,7 +219,7 @@ def rebuild_maps_sharded(mesh, state: GraphSlamState, hcfg: HectorConfig,
         for level in range(hcfg.num_levels):
             width = hcfg.level_sizes[level]
             loc = hector_sharded._halo_refresh_local(
-                loc, loffs[level], width, width // n_tiles, tile_axis)
+                loc, loffs[level], width, lrows[level], tile_axis)
         return loc[None]
 
     fn = shard_map(local, mesh=mesh,

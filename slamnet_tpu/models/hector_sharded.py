@@ -54,41 +54,35 @@ class ShardedHectorState(NamedTuple):
 
 # --------------------------- static layout helpers ---------------------------
 
-def _check_tiling(cfg: HectorConfig, n_tiles: int) -> None:
-    for s in cfg.level_sizes:
-        if s % n_tiles:
-            raise ValueError(
-                f"level size {s} not divisible by {n_tiles} tiles "
-                f"(levels {cfg.level_sizes})")
+def level_rows(cfg: HectorConfig, n_tiles: int) -> Tuple[int, ...]:
+    """Owned rows per tile for each level: ceil(width / n_tiles).
+
+    Levels need NOT divide evenly — the last tile(s) own padding rows beyond
+    the grid (never read or written: every row index is masked against the
+    real width before use), so any tile count works on any pyramid."""
+    return tuple(-(-s // n_tiles) for s in cfg.level_sizes)
 
 
 def local_level_offsets(cfg: HectorConfig, n_tiles: int) -> Tuple[int, ...]:
     """Start offset of each level inside a tile's flat local table."""
     out, off = [], 0
-    for s in cfg.level_sizes:
+    for s, rows in zip(cfg.level_sizes, level_rows(cfg, n_tiles)):
         out.append(off)
-        off += (s // n_tiles + 1) * s     # owned rows + 1 halo row
+        off += (rows + 1) * s             # owned rows + 1 halo row
     return tuple(out)
 
 
 def local_cells(cfg: HectorConfig, n_tiles: int) -> int:
-    return sum((s // n_tiles + 1) * s for s in cfg.level_sizes)
+    return sum((rows + 1) * s for s, rows in zip(cfg.level_sizes,
+                                                 level_rows(cfg, n_tiles)))
 
 
 def _beam_pad(n: int, n_search: int) -> int:
     """Beam axis padded to a lane multiple AND divisible by the search axis."""
-    unit = max(128, n_search * 128 // _gcd(n_search, 128) if False else 128)
-    del unit
     pad = max(256, -(-n // 128) * 128)
     while pad % n_search:
         pad += 128
     return pad
-
-
-def _gcd(a, b):
-    while b:
-        a, b = b, a % b
-    return a
 
 
 # ------------------------------ shard/unshard -------------------------------
@@ -98,17 +92,20 @@ def shard_state(mesh: Mesh, dense: hector.HectorState, cfg: HectorConfig,
     """Split a dense HectorState's concatenated pyramid into per-tile local
     tables (owned rows + halo per level) sharded over `tile_axis`."""
     n_tiles = mesh.shape[tile_axis]
-    _check_tiling(cfg, n_tiles)
+    lrows = level_rows(cfg, n_tiles)
     tiles = []
     for t in range(n_tiles):
         parts = []
         for level in range(cfg.num_levels):
             s = cfg.level_sizes[level]
-            rows = s // n_tiles
+            rows = lrows[level]
             grid = dense.maps[cfg.level_offsets[level]:
                               cfg.level_offsets[level] + s * s].reshape(s, s)
             owned = grid[t * rows:(t + 1) * rows]
-            halo = (grid[(t + 1) * rows] if t + 1 < n_tiles
+            if owned.shape[0] < rows:     # last tile(s): pad beyond the grid
+                owned = jnp.concatenate(
+                    [owned, jnp.zeros((rows - owned.shape[0], s), grid.dtype)])
+            halo = (grid[(t + 1) * rows] if (t + 1) * rows < s
                     else jnp.zeros(s, grid.dtype))
             parts.append(jnp.concatenate([owned, halo[None]]).reshape(-1))
         tiles.append(jnp.concatenate(parts))
@@ -125,14 +122,15 @@ def unshard_maps(state: ShardedHectorState, cfg: HectorConfig) -> jnp.ndarray:
     """Reassemble the dense concatenated pyramid (drops halo rows)."""
     n_tiles = state.local_maps.shape[0]
     loffs = local_level_offsets(cfg, n_tiles)
+    lrows = level_rows(cfg, n_tiles)
     levels = []
     for level in range(cfg.num_levels):
         s = cfg.level_sizes[level]
-        rows = s // n_tiles
+        rows = lrows[level]
         per_tile = [state.local_maps[t, loffs[level]:
                                      loffs[level] + rows * s].reshape(rows, s)
                     for t in range(n_tiles)]
-        levels.append(jnp.concatenate(per_tile).reshape(-1))
+        levels.append(jnp.concatenate(per_tile)[:s].reshape(-1))
     return jnp.concatenate(levels)
 
 
@@ -246,6 +244,114 @@ def _halo_refresh_local(local, loff, width, rows, tile_axis):
     return jax.lax.dynamic_update_slice(local, halo, (loff + rows * width,))
 
 
+def local_full_step(local, match_pose, last_update_pose, X, Y, valid, force,
+                    cfg: HectorConfig, n_tiles: int,
+                    tile_axis: str = "tile", search_axis: str = "search"):
+    """Shard-local full Hector step — the body of make_step's shard_map,
+    exposed so compositions (models/graph_slam_sharded) can run it inside
+    their OWN shard_map over the same mesh axes.
+
+    local: this tile's flat table f32[C] (NO leading shard dim); X/Y/valid are
+    this device's beam shard (already lane-padded).  Returns
+    (new_local f32[C], new_pose, new_last, HectorInfo) — pose/info replicated.
+    """
+    loffs = local_level_offsets(cfg, n_tiles)
+    lrows = level_rows(cfg, n_tiles)
+    axes = (tile_axis, search_axis)
+    tile = jax.lax.axis_index(tile_axis)
+
+    # ---------------- match: coarse-to-fine over the pyramid -----------
+    any_valid = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)),
+                             search_axis) > 0
+    estimate = match_pose
+    ox, oy = cfg.offset
+    iters = jnp.int32(0)
+    fails = jnp.int32(0)
+    resid_sum = jnp.float32(0.0)
+    n_in = jnp.float32(0.0)
+    for level in range(cfg.num_levels - 1, -1, -1):
+        width = cfg.level_sizes[level]
+        rows = lrows[level]
+        r0 = tile * rows
+        scale = 1.0 / cfg.level_resolutions[level]
+        est_px = jnp.stack([estimate[0] * scale + ox,
+                            estimate[1] * scale + oy, estimate[2]])
+        n_iters = cfg.estimate_iterations[level]
+
+        def one_iter(p):
+            red = _local_gn_reduce(local, loffs[level], width, rows, r0,
+                                   width, scale, p, X, Y, valid, axes)
+            d0, d1, d2, H00, H01, H02, H11, H12, H22 = red[:9]
+            s0, s1, s2, ok = _solve_scalar(H00, H01, H02, H11, H12, H22,
+                                           d0, d1, d2, cfg.deriv_clamp,
+                                           cfg.xy_step_clamp_px)
+            return (jnp.stack([p[0] + s0, p[1] + s1, p[2] + s2]), ok,
+                    red[9], red[10])
+
+        if cfg.early_exit_tol > 0.0:
+            tol2 = cfg.early_exit_tol ** 2
+
+            def cond(carry):
+                i, p, moved2, f, rs, ni = carry
+                return (i < n_iters) & (moved2 > tol2)
+
+            def body(carry):
+                i, p, _, f, rs, ni = carry
+                p2, ok, rs2, ni2 = one_iter(p)
+                return (i + 1, p2, jnp.sum((p2 - p) ** 2),
+                        f + (~ok).astype(jnp.int32), rs2, ni2)
+
+            li, est_px, _, fails, resid_sum, n_in = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), est_px, jnp.float32(jnp.inf),
+                             fails, resid_sum, n_in))
+            iters = iters + li
+        else:
+            for _ in range(n_iters):
+                est_px, ok, resid_sum, n_in = one_iter(est_px)
+                fails = fails + (~ok).astype(jnp.int32)
+            iters = iters + n_iters
+        estimate = jnp.stack([(est_px[0] - ox) / scale,
+                              (est_px[1] - oy) / scale,
+                              normalize_angle(est_px[2])])
+    matched = jnp.where(any_valid, estimate, match_pose)
+    new_pose = jnp.where(force, match_pose, matched)
+
+    # ---------------- motion gate (replicated scalars) ------------------
+    dist2 = jnp.sum((new_pose[:2] - last_update_pose[:2]) ** 2)
+    if cfg.angle_gate_compat:
+        ang_gate = deg_diff(new_pose[2], last_update_pose[2]) \
+            > cfg.min_angle_diff_for_map_update
+    else:
+        ang_gate = jnp.abs(rad_diff(new_pose[2], last_update_pose[2])) \
+            > cfg.min_angle_diff_for_map_update
+    do_update = ((dist2 > cfg.min_distance_diff_for_map_update ** 2)
+                 | ang_gate | force)
+
+    # ---------------- gated per-level update + halo refresh -------------
+    def with_update(loc):
+        for level in range(cfg.num_levels):
+            width = cfg.level_sizes[level]
+            rows = lrows[level]
+            r0 = tile * rows
+            scale = 1.0 / cfg.level_resolutions[level]
+            loc = _level_update_local(
+                loc, loffs[level], width, rows, r0, width, X, Y, valid,
+                new_pose, scale, cfg.log_odds_free, cfg.log_odds_occupied,
+                cfg.occupied_cap, search_axis)
+            loc = _halo_refresh_local(loc, loffs[level], width, rows,
+                                      tile_axis)
+        return loc
+
+    new_local = jax.lax.cond(do_update, with_update, lambda l: l, local)
+    new_last = jnp.where(do_update, new_pose, last_update_pose)
+    info = hector.HectorInfo(
+        map_updated=do_update,
+        residual=resid_sum / jnp.maximum(n_in, 1.0),
+        gn_iterations=iters, solve_failures=fails)
+    return new_local, new_pose, new_last, info
+
+
+
 def make_step(mesh: Mesh, cfg: HectorConfig, num_beams: int,
               tile_axis: str = "tile", search_axis: str = "search"):
     """Build the jitted sharded per-scan step.
@@ -255,104 +361,13 @@ def make_step(mesh: Mesh, cfg: HectorConfig, num_beams: int,
     """
     n_tiles = mesh.shape[tile_axis]
     n_search = mesh.shape[search_axis]
-    _check_tiling(cfg, n_tiles)
-    loffs = local_level_offsets(cfg, n_tiles)
     pad = _beam_pad(num_beams, n_search)
-    axes = (tile_axis, search_axis)
 
     def local_step(local, match_pose, last_update_pose, X, Y, valid, force):
-        local = local[0]          # [1, C] shard -> [C]
-        tile = jax.lax.axis_index(tile_axis)
-
-        # ---------------- match: coarse-to-fine over the pyramid -----------
-        any_valid = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)),
-                                 search_axis) > 0
-        estimate = match_pose
-        ox, oy = cfg.offset
-        iters = jnp.int32(0)
-        fails = jnp.int32(0)
-        resid_sum = jnp.float32(0.0)
-        n_in = jnp.float32(0.0)
-        for level in range(cfg.num_levels - 1, -1, -1):
-            width = cfg.level_sizes[level]
-            rows = width // n_tiles
-            r0 = tile * rows
-            scale = 1.0 / cfg.level_resolutions[level]
-            est_px = jnp.stack([estimate[0] * scale + ox,
-                                estimate[1] * scale + oy, estimate[2]])
-            n_iters = cfg.estimate_iterations[level]
-
-            def one_iter(p):
-                red = _local_gn_reduce(local, loffs[level], width, rows, r0,
-                                       width, scale, p, X, Y, valid, axes)
-                d0, d1, d2, H00, H01, H02, H11, H12, H22 = red[:9]
-                s0, s1, s2, ok = _solve_scalar(H00, H01, H02, H11, H12, H22,
-                                               d0, d1, d2, cfg.deriv_clamp,
-                                               cfg.xy_step_clamp_px)
-                return (jnp.stack([p[0] + s0, p[1] + s1, p[2] + s2]), ok,
-                        red[9], red[10])
-
-            if cfg.early_exit_tol > 0.0:
-                tol2 = cfg.early_exit_tol ** 2
-
-                def cond(carry):
-                    i, p, moved2, f, rs, ni = carry
-                    return (i < n_iters) & (moved2 > tol2)
-
-                def body(carry):
-                    i, p, _, f, rs, ni = carry
-                    p2, ok, rs2, ni2 = one_iter(p)
-                    return (i + 1, p2, jnp.sum((p2 - p) ** 2),
-                            f + (~ok).astype(jnp.int32), rs2, ni2)
-
-                li, est_px, _, fails, resid_sum, n_in = jax.lax.while_loop(
-                    cond, body, (jnp.int32(0), est_px, jnp.float32(jnp.inf),
-                                 fails, resid_sum, n_in))
-                iters = iters + li
-            else:
-                for _ in range(n_iters):
-                    est_px, ok, resid_sum, n_in = one_iter(est_px)
-                    fails = fails + (~ok).astype(jnp.int32)
-                iters = iters + n_iters
-            estimate = jnp.stack([(est_px[0] - ox) / scale,
-                                  (est_px[1] - oy) / scale,
-                                  normalize_angle(est_px[2])])
-        matched = jnp.where(any_valid, estimate, match_pose)
-        new_pose = jnp.where(force, match_pose, matched)
-
-        # ---------------- motion gate (replicated scalars) ------------------
-        dist2 = jnp.sum((new_pose[:2] - last_update_pose[:2]) ** 2)
-        if cfg.angle_gate_compat:
-            ang_gate = deg_diff(new_pose[2], last_update_pose[2]) \
-                > cfg.min_angle_diff_for_map_update
-        else:
-            ang_gate = jnp.abs(rad_diff(new_pose[2], last_update_pose[2])) \
-                > cfg.min_angle_diff_for_map_update
-        do_update = ((dist2 > cfg.min_distance_diff_for_map_update ** 2)
-                     | ang_gate | force)
-
-        # ---------------- gated per-level update + halo refresh -------------
-        def with_update(loc):
-            for level in range(cfg.num_levels):
-                width = cfg.level_sizes[level]
-                rows = width // n_tiles
-                r0 = tile * rows
-                scale = 1.0 / cfg.level_resolutions[level]
-                loc = _level_update_local(
-                    loc, loffs[level], width, rows, r0, width, X, Y, valid,
-                    new_pose, scale, cfg.log_odds_free, cfg.log_odds_occupied,
-                    cfg.occupied_cap, search_axis)
-                loc = _halo_refresh_local(loc, loffs[level], width, rows,
-                                          tile_axis)
-            return loc
-
-        new_local = jax.lax.cond(do_update, with_update, lambda l: l, local)
-        new_last = jnp.where(do_update, new_pose, last_update_pose)
-        info = hector.HectorInfo(
-            map_updated=do_update,
-            residual=resid_sum / jnp.maximum(n_in, 1.0),
-            gn_iterations=iters, solve_failures=fails)
-        return new_local[None], new_pose, new_last, info
+        new_local, pose, last, info = local_full_step(
+            local[0], match_pose, last_update_pose, X, Y, valid, force,
+            cfg, n_tiles, tile_axis, search_axis)
+        return new_local[None], pose, last, info
 
     sharded = shard_map(
         local_step, mesh=mesh,

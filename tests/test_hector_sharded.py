@@ -108,6 +108,39 @@ def test_match_equals_dense_to_float_tolerance():
                                rtol=1e-3, atol=1e-5)
 
 
+def test_tile8_padded_rows_equal_dense():
+    # tile=8 on the flagship pyramid (400/200/100): 100 rows don't divide by 8,
+    # so the last tiles own padding rows (hector_sharded.level_rows) — the
+    # VERDICT round-2 divisibility limit, now lifted.  Forced updates must stay
+    # BITWISE equal and a matched step must agree to float tolerance.
+    traj, pts, valids = _scan_log(12)
+    mesh = make_mesh({"tile": 8, "search": 1})
+    dense = hector.init(CFG, traj[0])
+    sh = hector_sharded.shard_state(mesh, dense, CFG)
+    step = hector_sharded.make_step(mesh, CFG, pts.shape[1])
+
+    for t in range(10):
+        cloud = Scan(pts[t], valids[t], jnp.zeros(3, jnp.float32))
+        dense, _ = hector.update(dense, cloud, jnp.asarray(traj[t]), CFG,
+                                 map_without_matching=jnp.asarray(True))
+        dense = dense._replace(match_pose=jnp.asarray(traj[t], jnp.float32))
+        sh = sh._replace(match_pose=jnp.asarray(traj[t], jnp.float32))
+        sh, _ = step(sh, pts[t], valids[t], jnp.asarray(True))
+
+    np.testing.assert_array_equal(
+        np.asarray(hector_sharded.unshard_maps(sh, CFG)),
+        np.asarray(dense.maps))
+
+    dense2, dinfo = hector.update(
+        dense, Scan(pts[10], valids[10], jnp.zeros(3, jnp.float32)),
+        dense.match_pose, CFG, map_without_matching=jnp.asarray(False))
+    sh2, sinfo = step(sh, pts[10], valids[10], jnp.asarray(False))
+    np.testing.assert_allclose(np.asarray(sh2.match_pose),
+                               np.asarray(dense2.match_pose),
+                               rtol=0, atol=2e-4)
+    assert int(sinfo.gn_iterations) == int(dinfo.gn_iterations)
+
+
 def test_bench_trajectory_replay_tracks_dense():
     # the VERDICT "done" criterion: a CPU-mesh replay of the bench trajectory
     # whose pose track equals the dense pipeline to float tolerance

@@ -108,16 +108,42 @@ def test_schur_node_sharded_equals_dense():
     mesh = make_mesh({"node": 8})
     assert schur.check_separator_capacity(g, 8, sep_capacity=8)
     dense = posegraph.gn_step(g)
-    shard = schur.schur_gn_step(mesh, g, sep_capacity=8)
+    shard, overflow = schur.schur_gn_step(mesh, g, sep_capacity=8)
+    assert int(overflow) == 0
     np.testing.assert_allclose(np.asarray(shard.poses),
                                np.asarray(dense.poses), rtol=2e-4, atol=2e-4)
     # a second chained step stays in agreement (covers back-substitution
     # feeding the next linearization; full-optimize equality follows by
     # induction and is skipped to keep CI compile time bounded)
     dense2 = posegraph.gn_step(dense)
-    shard2 = schur.schur_gn_step(mesh, shard, sep_capacity=8)
+    shard2, _ = schur.schur_gn_step(mesh, shard, sep_capacity=8)
     np.testing.assert_allclose(np.asarray(shard2.poses),
                                np.asarray(dense2.poses), rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_separator_overflow_is_loud():
+    # a dense loop-closure cluster: every node in shard 0 gets a cross edge,
+    # exceeding sep_capacity=2 — the step must REPORT the overflow, matching
+    # the host-side capacity check, instead of silently converging wrong
+    from slamnet_tpu.graph import schur
+    g, truth, _ = _circle_graph(n=64, max_nodes=64, max_edges=256)
+    m = 64 // 8
+    for t in range(m):                      # shard 0 node t <-> shard 4 node
+        rel = np.asarray(pose_between(jnp.asarray(truth[t]),
+                                      jnp.asarray(truth[t + 4 * m])))
+        g = posegraph.add_edge(g, t, t + 4 * m, rel, (10.0, 10.0, 40.0))
+    mesh = make_mesh({"node": 8})
+    assert not schur.check_separator_capacity(g, 8, sep_capacity=2)
+    _, overflow = schur.schur_gn_step(mesh, g, sep_capacity=2)
+    assert int(overflow) > 0
+    # with enough slots the same graph reports clean and matches dense
+    assert schur.check_separator_capacity(g, 8, sep_capacity=16)
+    shard, ok_overflow = schur.schur_gn_step(mesh, g, sep_capacity=16)
+    assert int(ok_overflow) == 0
+    dense = posegraph.gn_step(g)
+    np.testing.assert_allclose(np.asarray(shard.poses),
+                               np.asarray(dense.poses), rtol=2e-3, atol=2e-3)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
