@@ -163,6 +163,92 @@ def test_false_loop_rejected():
     assert err < 0.5, err
 
 
+def _revisit_traj():
+    fwd = np.stack([np.linspace(20, 23.5, 30), np.full(30, 20.0),
+                    np.zeros(30)], -1).astype(np.float32)
+    back = fwd[::-1].copy()
+    still = np.tile(np.asarray([20.0, 20.0, 0.0], np.float32), (12, 1))
+    return np.concatenate([still, fwd, back])
+
+
+def _pregen_scans(traj):
+    sim = SimConfig()
+    fld = default_field()
+    angles = jnp.asarray(lidar.revolution_angles(sim.num_scan_points))
+
+    @jax.jit
+    def gen(poses, key):
+        keys = jax.random.split(key, poses.shape[0])
+
+        def one(p, k):
+            return lidar.scan_revolution(fld, p, angles, sim.max_scan_dist,
+                                         sim.measure_error, k)
+        return jax.vmap(one)(poses, keys)
+
+    radii, valids = gen(jnp.asarray(traj), jax.random.PRNGKey(0))
+    pts = jnp.stack([radii * jnp.cos(angles)[None],
+                     radii * jnp.sin(angles)[None]], -1)
+    return pts, valids
+
+
+def test_sharded_graph_slam_matches_dense():
+    # the north-star composition (VERDICT round-2 task 1): sharded Hector
+    # matching + sharded keyframe storage + loop closure + node-sharded Schur
+    # GN, as ONE SPMD step, replayed over a revisit trajectory — must accept
+    # >= 1 loop closure and track the dense graph_slam to float tolerance
+    import jax as _jax
+    import pytest
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from slamnet_tpu.models import graph_slam_sharded
+    from slamnet_tpu.parallel import make_mesh
+
+    traj = _revisit_traj()
+    pts, valids = _pregen_scans(traj)
+    hcfg = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4))
+    gcfg = PoseGraphConfig(max_keyframes=64, max_edges=256, keyframe_dist=0.8,
+                           keyframe_angle=0.6, loop_closure_radius=1.5)
+    n = pts.shape[1]
+
+    dense = graph_slam.init(hcfg, gcfg, traj[0], n)
+
+    @jax.jit
+    def dense_step(state, p, v, boot):
+        cloud = Scan(p, v, jnp.zeros(3, jnp.float32))
+        return graph_slam.update(state, cloud, hcfg, gcfg,
+                                 map_without_matching=boot)
+
+    mesh = make_mesh({"tile": 2, "search": 4})
+    sh = graph_slam_sharded.init(mesh, hcfg, gcfg, traj[0], n)
+    step = graph_slam_sharded.make_step(mesh, hcfg, gcfg, n)
+
+    d_poses, s_poses = [], []
+    overflow_max = 0
+    for t in range(traj.shape[0]):
+        boot = jnp.asarray(t < 10)
+        dense, dinfo = dense_step(dense, pts[t], valids[t], boot)
+        sh, sinfo = step(sh, pts[t], valids[t], boot)
+        d_poses.append(np.asarray(dense.hector.match_pose))
+        s_poses.append(np.asarray(sh.match_pose))
+        overflow_max = max(overflow_max, int(sinfo.sep_overflow))
+
+    assert overflow_max == 0
+    assert int(dense.loop_count) >= 1
+    assert int(sh.loop_count) >= 1
+    assert int(sh.graph.num_nodes) == int(dense.graph.num_nodes)
+    assert int(sh.graph.num_edges) == int(dense.graph.num_edges)
+
+    nkf = int(dense.graph.num_nodes)
+    np.testing.assert_allclose(np.asarray(sh.graph.poses[:nkf]),
+                               np.asarray(dense.graph.poses[:nkf]),
+                               rtol=0, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(s_poses), np.asarray(d_poses),
+                               rtol=0, atol=2e-2)
+    # sharded keyframe cloud storage reassembles to the dense storage
+    np.testing.assert_allclose(np.asarray(sh.kf_points),
+                               np.asarray(dense.kf_points), rtol=0, atol=0)
+
+
 def test_loop_closure_fires_on_revisit():
     # drive out 3 m and come back to the start: the return keyframe is within
     # loop radius of keyframe 0 with an index gap
