@@ -224,3 +224,71 @@ def replay_fleet(states: hector.HectorState, radii, valids, angles,
         return sts, sts.match_pose
 
     return jax.lax.scan(body, states, (radii, valids))
+
+
+# --------------------------- fleet over the mesh -----------------------------
+#
+# Pod-scale serving (VERDICT round-2 stretch): instances are independent, so
+# the instance axis shards embarrassingly — each device runs the single-chip
+# fleet on its B/S slice with its slice of the flat map table kept local (no
+# collectives at all).  Semantics: EXACTLY S independent local fleets; note
+# the phase-3 update budget (cfg.fleet_update_capacity) applies PER SHARD, so
+# total capacity scales with the mesh — the desired serving behavior.
+
+def make_fleet_step(mesh, cfg: HectorConfig, axis: str = "search"):
+    """Jitted sharded fleet step: step(states, points f32[B,N,2],
+    valid bool[B,N], force bool) -> (states, HectorInfo), with the instance
+    axis (and the flat [B*C] map table) sharded over `axis`.
+    B must divide by the axis size."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(maps, match_pose, last_up, points, valid, force):
+        sts = hector.HectorState(maps, match_pose, last_up)
+        sts2, info = update_fleet(sts, points, valid, cfg, force)
+        return sts2.maps, sts2.match_pose, sts2.last_update_pose, info
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False)
+
+    @jax.jit
+    def step(states: hector.HectorState, points, valid, force=False):
+        b = points.shape[0]
+        assert b % mesh.shape[axis] == 0, (b, mesh.shape[axis])
+        maps, pose, last, info = sharded(states.maps, states.match_pose,
+                                         states.last_update_pose, points,
+                                         valid, jnp.asarray(force))
+        return hector.HectorState(maps, pose, last), info
+
+    return step
+
+
+def make_fleet_replay(mesh, cfg: HectorConfig, axis: str = "search"):
+    """Jitted sharded fleet replay: replay(states, radii f32[T,B,N],
+    valids bool[T,B,N], angles f32[N]) -> (states, poses f32[T,B,3])."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(maps, match_pose, last_up, radii, valids, angles):
+        sts = hector.HectorState(maps, match_pose, last_up)
+        sts2, poses = replay_fleet(sts, radii, valids, angles, cfg)
+        return sts2.maps, sts2.match_pose, sts2.last_update_pose, poses
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(None, axis), P(None, axis),
+                  P()),
+        out_specs=(P(axis), P(axis), P(axis), P(None, axis)),
+        check_vma=False)
+
+    @jax.jit
+    def replay(states: hector.HectorState, radii, valids, angles):
+        maps, pose, last, poses = sharded(states.maps, states.match_pose,
+                                          states.last_update_pose, radii,
+                                          valids, angles)
+        return hector.HectorState(maps, pose, last), poses
+
+    return replay

@@ -129,11 +129,23 @@ def correlative_search(hole_map_flat: jnp.ndarray, size: int, scale: float,
     `search_pose` — drop-in for ops/score.monte_carlo_search (same contract:
     lower sum is better, all-OOB candidates score int-max, first minimum wins).
     """
-    R = window // 2
     thetas = search_pose[2] + jnp.linspace(-theta_span, theta_span, num_theta)
     sums, nb = correlative_scores(hole_map_flat, size, scale, points, valid,
                                   search_pose, thetas, window)
     eff = jnp.where(nb > 0, sums, INT32_MAX)
+    return refine_from_scores(eff, search_pose, scale, window, num_theta,
+                              theta_span, subpixel)
+
+
+def refine_from_scores(eff: jnp.ndarray, search_pose, scale: float,
+                       window: int, num_theta: int, theta_span: float,
+                       subpixel: bool = True) -> Tuple[jnp.ndarray,
+                                                       jnp.ndarray]:
+    """Argmin + sub-pixel/sub-bin quadratic refinement over an effective score
+    grid eff i32[K, W, W] (int-max = invalid).  Split out so the sharded
+    pipeline (models/coreslam_sharded) can all-gather its per-shard theta
+    slices and run the IDENTICAL refinement — bit-exact winner selection."""
+    R = window // 2
     flat_idx = jnp.argmin(eff.reshape(-1))
     k = flat_idx // (window * window)
     rem = flat_idx % (window * window)

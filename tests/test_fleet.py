@@ -117,3 +117,67 @@ def test_gn_damping_default_is_parity_and_positive_damps():
     s_damped = np.asarray(gn._solve_scalar(*args, damping=0.5)[:3])
     np.testing.assert_array_equal(s_plain, s_zero)
     assert np.linalg.norm(s_damped) < np.linalg.norm(s_plain)
+
+
+def test_fleet_over_mesh_equals_local_fleets():
+    # pod-scale serving (stretch): B instances sharded over 8 devices must
+    # equal 8 INDEPENDENT local fleets of B/8 run unsharded (instances don't
+    # interact; the phase-3 update budget applies per shard by design)
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from slamnet_tpu.parallel import make_mesh
+
+    cfg = HectorConfig(num_levels=2, map_size=128, estimate_iterations=(5, 4),
+                       map_resolution=0.3125)
+    sim = SimConfig()
+    fld = default_field()
+    angles = jnp.asarray(lidar.revolution_angles(200))
+    b, s = 16, 8
+    rng = np.random.default_rng(3)
+    starts = np.stack([rng.uniform(14, 26, b), rng.uniform(14, 26, b),
+                       rng.uniform(-1, 1, b)], -1).astype(np.float32)
+
+    @jax.jit
+    def gen(key):
+        keys = jax.random.split(key, b)
+
+        def one(p, k):
+            return lidar.scan_revolution(fld, p, angles, sim.max_scan_dist,
+                                         sim.measure_error, k)
+        return jax.vmap(one)(jnp.asarray(starts), keys)
+
+    logs = [gen(jax.random.PRNGKey(t)) for t in range(8)]
+
+    mesh = make_mesh({"search": s})
+    sharded_states = fleet.init_fleet(cfg, starts)
+    sh_step = fleet.make_fleet_step(mesh, cfg)
+    for t in range(8):
+        radii, valid = logs[t]
+        pts = jnp.stack([radii * jnp.cos(angles)[None],
+                         radii * jnp.sin(angles)[None]], -1)
+        sharded_states, _ = sh_step(sharded_states, pts, valid,
+                                    jnp.asarray(t < 3))
+
+    per = b // s
+    cells = fleet.fleet_cells(cfg)
+    dense_maps, dense_poses = [], []
+    for shard in range(s):
+        sl = slice(shard * per, (shard + 1) * per)
+        st = fleet.init_fleet(cfg, starts[sl])
+        for t in range(8):
+            radii, valid = logs[t]
+            pts = jnp.stack([radii * jnp.cos(angles)[None],
+                             radii * jnp.sin(angles)[None]], -1)
+            st, _ = fleet.update_fleet(st, pts[sl], valid[sl], cfg,
+                                       map_without_matching=jnp.asarray(t < 3))
+        dense_maps.append(np.asarray(st.maps).reshape(per, cells))
+        dense_poses.append(np.asarray(st.match_pose))
+
+    np.testing.assert_array_equal(
+        np.asarray(sharded_states.maps).reshape(b, cells),
+        np.concatenate(dense_maps))
+    # poses to ULP tolerance: XLA reassociates the matcher's [9, N] reduction
+    # differently for the sharded vs unsharded program shapes
+    np.testing.assert_allclose(np.asarray(sharded_states.match_pose),
+                               np.concatenate(dense_poses), rtol=0, atol=2e-5)
