@@ -151,6 +151,9 @@ def main():
     # phase-shifted slices of the same scan log (models/fleet.py).
     flt = bench_fleet(radii, valids, angles, traj, scans_per_sec)
 
+    # Batched particle SLAM (BASELINE config 4): 8192 particles, full field.
+    part = bench_particle(radii, valids, angles, traj, n_scans, bootstrap)
+
     print(json.dumps({
         "metric": "hector_3level_400x400_scans_per_sec_per_chip",
         "value": round(scans_per_sec, 1),
@@ -167,6 +170,7 @@ def main():
         "device": str(jax.devices()[0]),
         **core,
         **flt,
+        **part,
     }))
     return 0
 
@@ -174,8 +178,13 @@ def main():
 def bench_fleet(radii, valids, angles, traj, single_rate):
     """Fleet throughput: B batched Hector instances, each replaying a
     phase-shifted slice of the bench scan log (gates fire desynchronized at
-    the reference's ~1-in-18 statistics).  Production serving config:
-    matcher subsample 4 + translation step clamp (docs/PERF.md)."""
+    the reference's ~1-in-18 statistics).
+
+    Measures a MODES TABLE (matcher subsample x robustness guards) and gates
+    the headline on accuracy: the headline row is the fastest mode whose fleet
+    ATE stays within 2x the no-subsample mode's ATE (VERDICT r02 weak #1 —
+    a throughput headline may not silently trade 40x accuracy)."""
+    import dataclasses
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -184,8 +193,8 @@ def bench_fleet(radii, valids, angles, traj, single_rate):
     from slamnet_tpu.models import fleet
 
     B, T, boot = 64, 64, 10
-    cfg = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4),
-                       xy_step_clamp_px=10.0, match_subsample=4)
+    base = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4),
+                        xy_step_clamp_px=10.0, max_match_jump=1.0)
     total = radii.shape[0]
     starts = np.linspace(0, total - (T + boot), B).astype(int)
     r = jnp.stack([radii[s:s + T + boot] for s in starts], axis=1)
@@ -193,40 +202,108 @@ def bench_fleet(radii, valids, angles, traj, single_rate):
     tr = np.stack([traj[s:s + T + boot] for s in starts], axis=1)
     tr_d = jax.device_put(jnp.asarray(tr), radii.devices().pop())
 
-    states = fleet.init_fleet(cfg, tr[0])
+    def run(cfg):
+        states = fleet.init_fleet(cfg, tr[0])
+
+        @jax.jit
+        def boot_step(states, r1, v1, poses):
+            pts = jnp.stack([r1 * jnp.cos(angles)[None],
+                             r1 * jnp.sin(angles)[None]], -1)
+            states = states._replace(match_pose=poses)
+            states, _ = fleet.update_fleet(states, pts, v1, cfg,
+                                           map_without_matching=True)
+            return states
+
+        for t in range(boot):
+            states = boot_step(states, r[t], v[t], tr_d[t])
+        jax.block_until_ready(states)
+
+        replay = jax.jit(lambda s, rr, vv: fleet.replay_fleet(s, rr, vv,
+                                                              angles, cfg))
+        stf, poses = replay(states, r[boot:], v[boot:])
+        jax.block_until_ready(stf)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            stf, poses = replay(states, r[boot:], v[boot:])
+            jax.block_until_ready(stf)
+            best = min(best, time.time() - t0)
+
+        pe = np.linalg.norm(np.asarray(poses)[:, :, :2] - tr[boot:, :, :2],
+                            axis=-1)
+        return (T * B / best, float(np.sqrt((pe ** 2).mean())),
+                float(pe.max()))
+
+    modes = {}
+    for name, cfg in (
+            ("sub1", base),
+            ("sub2", dataclasses.replace(base, match_subsample=2)),
+            ("sub4", dataclasses.replace(base, match_subsample=4)),
+            ("sub4_noguards", dataclasses.replace(
+                base, match_subsample=4, xy_step_clamp_px=0.0,
+                max_match_jump=0.0))):
+        rate, ate, mx = run(cfg)
+        modes[name] = {"instance_scans_per_sec": round(rate, 1),
+                       "ate_m": round(ate, 4), "max_err_m": round(mx, 3)}
+
+    # accuracy gate: fastest mode within 2x the no-subsample ATE
+    bound = 2.0 * modes["sub1"]["ate_m"]
+    eligible = [(m["instance_scans_per_sec"], name)
+                for name, m in modes.items() if m["ate_m"] <= bound]
+    rate, headline = max(eligible)
+    return {
+        "fleet_batch": B,
+        "fleet_mode": headline,
+        "fleet_instance_scans_per_sec": rate,
+        "fleet_vs_single_instance": round(rate / single_rate, 2),
+        "fleet_ate_m": modes[headline]["ate_m"],
+        "fleet_max_err_m": modes[headline]["max_err_m"],
+        "fleet_ate_bound_m": round(bound, 4),
+        "fleet_modes": modes,
+    }
+
+
+def bench_particle(radii, valids, angles, traj, n_scans, bootstrap):
+    """BASELINE config 4: 8k-particle vmapped scoring + top-k refine on one
+    chip, full 40x40m field run (models/particle.py)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from slamnet_tpu.core import CoreSlamConfig, ParticleConfig
+    from slamnet_tpu.core.scan import Scan
+    from slamnet_tpu.models import particle
+
+    ccfg = CoreSlamConfig()
+    pcfg = ParticleConfig()                      # 8192 particles, top-64
+    state = particle.init(ccfg, pcfg, traj[0], key=jax.random.PRNGKey(2))
 
     @jax.jit
-    def boot_step(states, r1, v1, poses):
-        pts = jnp.stack([r1 * jnp.cos(angles)[None],
-                         r1 * jnp.sin(angles)[None]], -1)
-        states = states._replace(match_pose=poses)
-        states, _ = fleet.update_fleet(states, pts, v1, cfg,
-                                       map_without_matching=True)
-        return states
+    def replay(state, radii, valids):
+        def body(st, inp):
+            rr, vv = inp
+            pts = jnp.stack([rr * jnp.cos(angles), rr * jnp.sin(angles)], -1)
+            st, _ = particle.update(st, Scan(pts, vv, jnp.zeros(3, jnp.float32)),
+                                    st.pose, ccfg, pcfg)
+            return st, st.pose
+        return jax.lax.scan(body, state, (radii, valids))
 
-    for t in range(boot):
-        states = boot_step(states, r[t], v[t], tr_d[t])
-    jax.block_until_ready(states)
-
-    replay = jax.jit(lambda s, rr, vv: fleet.replay_fleet(s, rr, vv, angles,
-                                                          cfg))
-    stf, poses = replay(states, r[boot:], v[boot:])
+    stf, poses = replay(state, radii, valids)
     jax.block_until_ready(stf)
     best = float("inf")
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.time()
-        stf, poses = replay(states, r[boot:], v[boot:])
+        stf, poses = replay(state, radii, valids)
         jax.block_until_ready(stf)
         best = min(best, time.time() - t0)
 
-    pe = np.linalg.norm(np.asarray(poses)[:, :, :2] - tr[boot:, :, :2],
-                        axis=-1)
-    rate = T * B / best
+    err = np.asarray(poses) - traj[: n_scans + bootstrap]
+    pe = np.linalg.norm(err[:, :2], axis=1)
     return {
-        "fleet_batch": B,
-        "fleet_instance_scans_per_sec": round(rate, 1),
-        "fleet_vs_single_instance": round(rate / single_rate, 2),
-        "fleet_ate_m": round(float(np.sqrt((pe ** 2).mean())), 4),
+        "particle_count": pcfg.num_particles,
+        "particle_scans_per_sec": round((n_scans + bootstrap) / best, 1),
+        "particle_ate_m": round(float(np.sqrt((pe ** 2).mean())), 4),
+        "particle_max_err_m": round(float(pe.max()), 4),
     }
 
 

@@ -130,6 +130,13 @@ class HectorConfig(_Overlayable):
     # recovery (the reference has the same failure mode, README.md:39).
     # > 0: robustness extension — per-iteration translation step bounded to
     # +/- this many map pixels (recommended ~10 for production serving).
+    max_match_jump: float = 0.0
+    # 0 (default): reference parity — the matched pose is always adopted.
+    # > 0: robustness extension — if the matcher moved more than this many
+    # METERS from its hint in one scan (physically impossible at real scan
+    # rates; the signature of a degenerate-view solve, README.md:39), the
+    # match is REJECTED and the hint kept.  Bounds per-scan damage in
+    # production serving; see docs/PERF.md fleet robustness notes.
     gn_damping: float = 0.0
     # 0 (default): reference parity — raw Gauss-Newton solve.
     # > 0: Levenberg-style robustness extension — H's diagonal scaled by

@@ -148,6 +148,12 @@ def update_fleet(states: hector.HectorState, points, valid, cfg: HectorConfig,
     # vmapped matcher serializes per instance, ops/gn.fused_gn_iteration_batch)
     matched, mstats = _match_batch(states.maps, cells, points, valid,
                                    states.match_pose, cfg)
+    if cfg.max_match_jump > 0.0:
+        # reject physically-impossible per-scan jumps (degenerate-view solves)
+        jump2 = jnp.sum((matched[:, :2] - states.match_pose[:, :2]) ** 2,
+                        axis=1)
+        matched = jnp.where((jump2 <= cfg.max_match_jump ** 2)[:, None],
+                            matched, states.match_pose)
     match_pose = jnp.where(force[:, None], states.match_pose, matched)
 
     # ---- phase 2: vectorized motion gates (HectorSLAMProcessor.cs:107-109) -

@@ -238,6 +238,12 @@ def update(state: HectorState, scan: Scan, pose_hint_world,
     force = jnp.asarray(map_without_matching)
 
     matched, mstats = match_with_stats(state.maps, scan, pose_hint_world, cfg)
+    if cfg.max_match_jump > 0.0:
+        # production robustness: a physically-impossible per-scan jump is a
+        # degenerate-view solve — reject the match, keep the hint
+        jump2 = jnp.sum((matched[:2] - pose_hint_world[:2]) ** 2)
+        matched = jnp.where(jump2 <= cfg.max_match_jump ** 2, matched,
+                            pose_hint_world)
     match_pose = jnp.where(force, pose_hint_world, matched)
 
     dist2 = jnp.sum((match_pose[:2] - state.last_update_pose[:2]) ** 2)

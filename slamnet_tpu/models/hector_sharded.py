@@ -314,6 +314,11 @@ def local_full_step(local, match_pose, last_update_pose, X, Y, valid, force,
                               (est_px[1] - oy) / scale,
                               normalize_angle(est_px[2])])
     matched = jnp.where(any_valid, estimate, match_pose)
+    if cfg.max_match_jump > 0.0:
+        # reject physically-impossible per-scan jumps (models/hector.update)
+        jump2 = jnp.sum((matched[:2] - match_pose[:2]) ** 2)
+        matched = jnp.where(jump2 <= cfg.max_match_jump ** 2, matched,
+                            match_pose)
     new_pose = jnp.where(force, match_pose, matched)
 
     # ---------------- motion gate (replicated scalars) ------------------

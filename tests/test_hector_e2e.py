@@ -155,3 +155,44 @@ def test_compat_angle_gate_ignores_negative_rotation():
     _, _, upd_compat = _run(traj, cfg=cfg_compat, bootstrap=1)
     assert upd_fixed == 3      # |rad_diff| gate fires on both rotations
     assert upd_compat == 1     # signed DegDiff gate never fires
+
+
+def test_max_match_jump_rejects_large_moves():
+    # mechanism test for the production robustness knob: bootstrap a map at
+    # the true pose, then hand the matcher a hint 1 m off.  The default
+    # config snaps most of the way back (a ~1 m move); with
+    # max_match_jump=0.3 that physically-impossible per-scan move is
+    # rejected and the hint is kept verbatim.
+    import dataclasses
+    sim = SimConfig()
+    fld = default_field()
+    angles = jnp.asarray(lidar.revolution_angles(sim.num_scan_points))
+    truth = jnp.asarray([20.0, 20.0, 0.0], jnp.float32)
+    cfg = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4))
+    state = hector.init(cfg, truth)
+    key = jax.random.PRNGKey(0)
+    for t in range(8):
+        key, sub = jax.random.split(key)
+        radii, valid = lidar.scan_revolution(fld, truth, angles,
+                                             sim.max_scan_dist,
+                                             sim.measure_error, sub)
+        pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
+        state, _ = hector.update(state, Scan(pts, valid, jnp.zeros(3)),
+                                 truth, cfg, map_without_matching=True)
+
+    key, sub = jax.random.split(key)
+    radii, valid = lidar.scan_revolution(fld, truth, angles,
+                                         sim.max_scan_dist,
+                                         sim.measure_error, sub)
+    pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
+    hint = truth + jnp.asarray([1.0, 0.0, 0.0])
+
+    plain, _ = hector.update(state, Scan(pts, valid, jnp.zeros(3)), hint, cfg)
+    moved = float(jnp.linalg.norm(plain.match_pose[:2] - hint[:2]))
+    assert moved > 0.5, moved          # it really does move ~1 m
+
+    guard = dataclasses.replace(cfg, max_match_jump=0.3)
+    held, _ = hector.update(state, Scan(pts, valid, jnp.zeros(3)), hint,
+                            guard)
+    np.testing.assert_array_equal(np.asarray(held.match_pose),
+                                  np.asarray(hint))

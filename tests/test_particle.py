@@ -64,3 +64,15 @@ def test_ess_and_resampling_sane():
     _, _, infos = _run(traj)
     ess = np.asarray([float(i.ess) for i in infos])
     assert np.all(ess >= 1.0) and np.all(ess <= 512.0)
+
+
+def test_baseline_config4_8k_compiles_and_tracks():
+    # BASELINE config 4 at FULL scale: 8192 particles, top-64, 64 refine —
+    # the exact bench.py configuration — must compile and track a short
+    # stationary window (throughput is measured on the chip by bench.py)
+    traj = stationary_trajectory(num_scans=8)
+    state, errs, infos = _run(traj, num_particles=8192, top_k=64, refine=64)
+    pose = np.asarray(state.pose)
+    assert np.isfinite(pose).all()
+    err = np.linalg.norm(pose[:2] - np.asarray(traj[-1][:2]))
+    assert err < 0.3, (pose, traj[-1])
