@@ -131,7 +131,17 @@ def main():
                                             dense_free_fill=True)),
                        ("early_exit_sub2",
                         dataclasses.replace(cfg, early_exit_tol=1e-3,
-                                            match_subsample=2))):
+                                            match_subsample=2)),
+                       # one-hot MXU gather (ops/gn.py): sidesteps XLA's
+                       # variant-operand gather rate; "highest" is
+                       # bit-identical to the gather matcher, "bf16" rounds
+                       # the table on the MXU (both ATE-gated like all modes)
+                       ("onehot",
+                        dataclasses.replace(cfg, early_exit_tol=1e-3,
+                                            matcher_mode="onehot_highest")),
+                       ("onehot_bf16",
+                        dataclasses.replace(cfg, early_exit_tol=1e-3,
+                                            matcher_mode="onehot_bf16"))):
         t_c, (poses_c, upd_c, resid_c, fails_c) = measure(cand)
         ate_c, max_c = ate_of(poses_c)
         modes[name] = {"scans_per_sec": round(n_scans / t_c, 1),
@@ -241,7 +251,11 @@ def bench_fleet(radii, valids, angles, traj, single_rate):
             ("sub4", dataclasses.replace(base, match_subsample=4)),
             ("sub4_noguards", dataclasses.replace(
                 base, match_subsample=4, xy_step_clamp_px=0.0,
-                max_match_jump=0.0))):
+                max_match_jump=0.0)),
+            ("sub1_onehot", dataclasses.replace(
+                base, matcher_mode="onehot_bf16")),
+            ("sub4_onehot", dataclasses.replace(
+                base, match_subsample=4, matcher_mode="onehot_bf16"))):
         rate, ate, mx = run(cfg)
         modes[name] = {"instance_scans_per_sec": round(rate, 1),
                        "ate_m": round(ate, 4), "max_err_m": round(mx, 3)}

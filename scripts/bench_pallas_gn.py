@@ -111,13 +111,42 @@ def main():
               f"final pose {np.round(np.asarray(pose), 4)}")
         return per_match, np.asarray(out)
 
+    import dataclasses
+
+    def make_mode_replay(cfg_x):
+        @jax.jit
+        def replay(maps, pose0, radii, valids):
+            def body(carry, inp):
+                maps, pose = carry
+                r, v = inp
+                p = jnp.stack([r * jnp.cos(angles), r * jnp.sin(angles)], -1)
+                matched, _ = hector.match_with_stats(
+                    maps, Scan(p, v, jnp.zeros(3)), pose, cfg_x)
+                maps = maps.at[0].add(1e-6)
+                return (maps, matched), matched
+            (maps, pose), out = jax.lax.scan(body, (maps, pose0),
+                                             (radii, valids))
+            return pose, out
+        return replay
+
     print(f"device: {jax.devices()[0]}")
-    t_x, p_x = measure(xla_replay, "XLA fused matcher  ")
-    t_p, p_p = measure(pallas_replay, "Pallas VMEM matcher")
+    t_x, p_x = measure(xla_replay, "XLA gather matcher    ")
+    t_oh, p_oh = measure(
+        make_mode_replay(dataclasses.replace(cfg,
+                                             matcher_mode="onehot_highest")),
+        "one-hot MXU (highest) ")
+    t_ob, p_ob = measure(
+        make_mode_replay(dataclasses.replace(cfg, matcher_mode="onehot_bf16")),
+        "one-hot MXU (bf16)    ")
+    t_p, p_p = measure(pallas_replay, "Pallas VMEM matcher   ")
     if t_x and t_p:
         print(f"ratio pallas/xla: {t_p / t_x:.1f}x")
-        if p_x is not None and p_p is not None:
-            print("max pose diff:", float(np.abs(p_x - p_p).max()))
+    if t_x and t_oh and p_oh is not None:
+        print(f"ratio onehot_highest/xla: {t_oh / t_x:.2f}x  "
+              f"max pose diff {float(np.abs(p_x - p_oh).max()):.2e}")
+    if t_x and t_ob and p_ob is not None:
+        print(f"ratio onehot_bf16/xla: {t_ob / t_x:.2f}x  "
+              f"max pose diff {float(np.abs(p_x - p_ob).max()):.2e}")
 
 
 if __name__ == "__main__":

@@ -130,6 +130,13 @@ class HectorConfig(_Overlayable):
     # recovery (the reference has the same failure mode, README.md:39).
     # > 0: robustness extension — per-iteration translation step bounded to
     # +/- this many map pixels (recommended ~10 for production serving).
+    matcher_mode: str = "gather"
+    # "gather" (default): stacked [4,N] take.  "onehot_highest" /
+    # "onehot_bf16": the 4-neighbor fetch as one-hot row matmuls on the MXU
+    # (ops/gn.fused_gn_iteration_onehot_stats) — wins when the map table is a
+    # loop-carried (variant) operand, where XLA's gather rate is the matcher
+    # wall (docs/PERF.md).  "onehot_highest" is bit-identical to "gather";
+    # "onehot_bf16" lets the MXU round the table (fast path, ATE-gated).
     max_match_jump: float = 0.0
     # 0 (default): reference parity — the matched pose is always adopted.
     # > 0: robustness extension — if the matcher moved more than this many

@@ -55,6 +55,49 @@ def load_metadata(path: str) -> dict:
         return json.load(f)
 
 
+def save_sharded(path: str, state: Any, cfg: Any,
+                 metadata: dict | None = None) -> None:
+    """Checkpoint a SHARDED state (ShardedHectorState / ShardedCoreSlamState /
+    ShardedGraphSlamState): densified host-side so the checkpoint is
+    mesh-shape independent — a job restarted on a DIFFERENT device count
+    restores it with `restore_sharded` onto its own mesh (the pod-scale
+    elastic-restart story, SURVEY.md §5.4)."""
+    from ..models import coreslam_sharded, graph_slam_sharded, hector_sharded
+
+    kind = type(state).__name__
+    if kind == "ShardedHectorState":
+        dense = hector_sharded.to_dense(state, cfg)
+    elif kind == "ShardedCoreSlamState":
+        dense = coreslam_sharded.to_dense(state)
+    elif kind == "ShardedGraphSlamState":
+        dense = graph_slam_sharded.to_dense(state, cfg)
+    else:
+        raise TypeError(f"not a sharded state: {kind}")
+    meta = dict(metadata or {})
+    meta["sharded_kind"] = kind
+    save(path, dense, meta)
+
+
+def restore_sharded(path: str, mesh, cfg: Any, like_dense: Any,
+                    **shard_kwargs) -> Any:
+    """Restore a `save_sharded` checkpoint onto `mesh` (any compatible shape).
+
+    like_dense: a dense state providing the pytree structure (e.g.
+    hector.init(cfg, 0-pose)).  Returns the sharded state."""
+    from ..models import coreslam_sharded, graph_slam_sharded, hector_sharded
+
+    kind = load_metadata(path)["sharded_kind"]
+    dense = restore(path, like_dense)
+    if kind == "ShardedHectorState":
+        return hector_sharded.shard_state(mesh, dense, cfg, **shard_kwargs)
+    if kind == "ShardedCoreSlamState":
+        return coreslam_sharded.shard_state(mesh, dense, cfg, **shard_kwargs)
+    if kind == "ShardedGraphSlamState":
+        return graph_slam_sharded.shard_dense(mesh, dense, cfg,
+                                              **shard_kwargs)
+    raise TypeError(kind)
+
+
 def save_orbax(path: str, state: Any) -> None:
     """Orbax-backed save (async-capable, multi-host aware) when available."""
     if not _HAS_ORBAX:

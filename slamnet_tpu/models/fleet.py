@@ -86,6 +86,14 @@ def _match_batch(flat, cells, points, valid, hints, cfg: HectorConfig):
     fails = jnp.zeros(b, jnp.int32)
     resid_sum = jnp.zeros(b, jnp.float32)
     n_in = jnp.zeros(b, jnp.float32)
+    onehot = cfg.matcher_mode.startswith("onehot")
+    if onehot:
+        # one row-padded [B, R, lanes] view per batch-scan; iterations then
+        # run batched one-hot matmuls on the MXU instead of the rate-limited
+        # batched-operand gather (ops/gn.fused_gn_iteration_batch_onehot)
+        table3d = gn.build_row_table_batch(flat, b, cfg)
+        row_offs, _ = gn.row_table_offsets(cfg)
+        prec = "highest" if cfg.matcher_mode == "onehot_highest" else "bf16"
     for level in range(cfg.num_levels - 1, -1, -1):
         width = cfg.level_sizes[level]
         offset = cfg.level_offsets[level]
@@ -94,6 +102,19 @@ def _match_batch(flat, cells, points, valid, hints, cfg: HectorConfig):
                             estimate[:, 1] * scale + oy,
                             estimate[:, 2]], axis=1)
         n_iters = cfg.estimate_iterations[level]
+
+        if onehot:
+            def one_iter(p, level=level):
+                return gn.fused_gn_iteration_batch_onehot(
+                    table3d, row_offs[level], width, scale, p, X, Y, V,
+                    cfg.deriv_clamp, cfg.xy_step_clamp_px, cfg.gn_damping,
+                    precision=prec)
+        else:
+            def one_iter(p, level=level):
+                return gn.fused_gn_iteration_batch(
+                    flat, cells, offset, width, scale, p, X, Y, V,
+                    cfg.deriv_clamp, cfg.xy_step_clamp_px, cfg.gn_damping)
+
         if cfg.early_exit_tol > 0.0:
             # batch-wide convergence: stop when EVERY instance's step is tiny
             tol2 = cfg.early_exit_tol ** 2
@@ -104,10 +125,7 @@ def _match_batch(flat, cells, points, valid, hints, cfg: HectorConfig):
 
             def body(carry):
                 i, p, _, f, rs, ni = carry
-                p2, ok, rs2, ni2 = gn.fused_gn_iteration_batch(
-                    flat, cells, offset, width, scale, p, X, Y, V,
-                    cfg.deriv_clamp, cfg.xy_step_clamp_px,
-                    cfg.gn_damping)
+                p2, ok, rs2, ni2 = one_iter(p)
                 return (i + 1, p2, jnp.sum((p2 - p) ** 2, axis=1),
                         f + (~ok).astype(jnp.int32), rs2, ni2)
 
@@ -118,10 +136,7 @@ def _match_batch(flat, cells, points, valid, hints, cfg: HectorConfig):
             iters = iters + li
         else:
             for _ in range(n_iters):
-                est_px, ok, resid_sum, n_in = gn.fused_gn_iteration_batch(
-                    flat, cells, offset, width, scale, est_px, X, Y, V,
-                    cfg.deriv_clamp, cfg.xy_step_clamp_px,
-                    cfg.gn_damping)
+                est_px, ok, resid_sum, n_in = one_iter(est_px)
                 fails = fails + (~ok).astype(jnp.int32)
             iters = iters + n_iters
         th = jax.vmap(normalize_angle)(est_px[:, 2])

@@ -163,12 +163,32 @@ def match_with_stats(state_maps: jnp.ndarray, scan: Scan,
     fails = jnp.int32(0)
     resid_sum = jnp.float32(0.0)
     n_in = jnp.float32(0.0)
+    onehot = cfg.matcher_mode.startswith("onehot")
+    if onehot:
+        # one ~1.4 MB row-padded view per match; GN iterations then run on
+        # the MXU instead of XLA's variant-operand gather (ops/gn.py)
+        table2d = gn.build_row_table(table, cfg)
+        row_offs, _ = gn.row_table_offsets(cfg)
+        prec = "highest" if cfg.matcher_mode == "onehot_highest" else "bf16"
     for level in range(cfg.num_levels - 1, -1, -1):
         width = cfg.level_sizes[level]
         scale = 1.0 / cfg.level_resolutions[level]
         est_px = jnp.stack([estimate[0] * scale + ox, estimate[1] * scale + oy,
                             estimate[2]])
         n_iters = cfg.estimate_iterations[level]
+
+        if onehot:
+            def one_iter(p, level=level):
+                return gn.fused_gn_iteration_onehot_stats(
+                    table2d, row_offs[level], width, scale, p, X, Y, valid,
+                    cfg.deriv_clamp, cfg.xy_step_clamp_px, cfg.gn_damping,
+                    precision=prec)
+        else:
+            def one_iter(p, level=level):
+                return gn.fused_gn_iteration_stats(
+                    table, offsets[level], width, scale, p, X, Y, valid,
+                    cfg.deriv_clamp, cfg.xy_step_clamp_px, cfg.gn_damping)
+
         if cfg.early_exit_tol > 0.0:
             # converged early-exit: extra fixed iterations are numeric no-ops
             tol2 = cfg.early_exit_tol ** 2
@@ -179,10 +199,7 @@ def match_with_stats(state_maps: jnp.ndarray, scan: Scan,
 
             def body(carry):
                 i, p, _, f, rs, ni = carry
-                p2, ok, rs2, ni2 = gn.fused_gn_iteration_stats(
-                    table, offsets[level], width, scale, p, X, Y, valid,
-                    cfg.deriv_clamp, cfg.xy_step_clamp_px,
-                    cfg.gn_damping)
+                p2, ok, rs2, ni2 = one_iter(p)
                 return (i + 1, p2, jnp.sum((p2 - p) ** 2),
                         f + (~ok).astype(jnp.int32), rs2, ni2)
 
@@ -192,10 +209,7 @@ def match_with_stats(state_maps: jnp.ndarray, scan: Scan,
             iters = iters + li
         else:
             for _ in range(n_iters):
-                est_px, ok, resid_sum, n_in = gn.fused_gn_iteration_stats(
-                    table, offsets[level], width, scale, est_px, X, Y, valid,
-                    cfg.deriv_clamp, cfg.xy_step_clamp_px,
-                    cfg.gn_damping)
+                est_px, ok, resid_sum, n_in = one_iter(est_px)
                 fails = fails + (~ok).astype(jnp.int32)
             iters = iters + n_iters
         th = normalize_angle(est_px[2])

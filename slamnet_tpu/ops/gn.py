@@ -139,11 +139,8 @@ def gn_iteration(logodds_flat, width, points, valid, pose_px, scale_to_map,
 # vs ~1 ms for the unfused op-per-op formulation.
 # ---------------------------------------------------------------------------
 
-def _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
-                   deriv_clamp, with_stats: bool, xy_clamp: float = 0.0,
-                   damping: float = 0.0):
-    """Shared body of the fused GN step; `with_stats` is a trace-time flag —
-    when False the stats rows are never built (zero cost on the plain path)."""
+def _gn_coords(width, scale, pose_px, X, Y, valid):
+    """Shared coordinate/mask prep for both gather modes."""
     sr = jnp.sin(pose_px[2]) * scale
     cr = jnp.cos(pose_px[2]) * scale
     mx = cr * X - sr * Y + pose_px[0]
@@ -151,9 +148,13 @@ def _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
     ok = valid & (mx >= 0.0) & (mx <= width - 2) & (my >= 0.0) & (my <= width - 2)
     xi = jnp.clip(mx.astype(jnp.int32), 0, width - 2)
     yi = jnp.clip(my.astype(jnp.int32), 0, width - 2)
-    base = offset + yi * width + xi
-    idx = jnp.stack([base, base + 1, base + width, base + width + 1])
-    v = jax.nn.sigmoid(jnp.take(table, idx))
+    return sr, cr, mx, my, ok, xi, yi
+
+
+def _gn_tail(v, mx, my, xi, yi, ok, X, Y, sr, cr, pose_px, deriv_clamp,
+             with_stats, xy_clamp, damping):
+    """From the 4 gathered neighbor probabilities v f32[4, N] to the solved
+    step — identical for every gather implementation."""
     fx = mx - xi
     fy = my - yi
     xf = 1.0 - fx
@@ -166,15 +167,10 @@ def _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
     gy = jnp.where(ok, gy, z)
     fun = jnp.where(ok, 1.0 - val, z)
     rot = (-sr * X - cr * Y) * gx + (cr * X - sr * Y) * gy
-    # all 9 Hessian/residual sums as ONE [9, N] stacked reduction (gx/gy already
-    # zeroed outside bounds, so masking is inherited) + the scalar solve —
-    # measured faster than two small matmuls + stacked solve (tiny-op bound)
     rows = [gx * fun, gy * fun, rot * fun,
             gx * gx, gx * gy, gx * rot,
             gy * gy, gy * rot, rot * rot]
     if with_stats:
-        # two extra fused rows: sum (1-M)^2 and the in-bounds count — the
-        # matcher-health channel (ScanMatcher.cs:99-115 logging parity)
         rows += [fun * fun, ok.astype(jnp.float32)]
     red = jnp.stack(rows).sum(axis=1)
     d0, d1, d2, H00, H01, H02, H11, H12, H22 = red[:9]
@@ -185,6 +181,101 @@ def _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
     if with_stats:
         return new_pose, solve_ok, red[9], red[10]
     return new_pose
+
+
+def _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
+                   deriv_clamp, with_stats: bool, xy_clamp: float = 0.0,
+                   damping: float = 0.0):
+    """Shared body of the fused GN step; `with_stats` is a trace-time flag —
+    when False the stats rows are never built (zero cost on the plain path).
+
+    The 9 Hessian/residual sums run as ONE [9, N] stacked reduction and the
+    solve on unpacked scalars (_gn_tail) — measured faster than two small
+    matmuls + stacked solve (tiny-op bound, docs/PERF.md).  The stats rows are
+    the matcher-health channel (ScanMatcher.cs:99-115 logging parity)."""
+    sr, cr, mx, my, ok, xi, yi = _gn_coords(width, scale, pose_px, X, Y, valid)
+    base = offset + yi * width + xi
+    idx = jnp.stack([base, base + 1, base + width, base + width + 1])
+    v = jax.nn.sigmoid(jnp.take(table, idx))
+    return _gn_tail(v, mx, my, xi, yi, ok, X, Y, sr, cr, pose_px, deriv_clamp,
+                    with_stats, xy_clamp, damping)
+
+
+# ---------------------------------------------------------------------------
+# One-hot MXU gather variant.
+#
+# XLA's TPU gather runs ~130M gathered elements/s when the table operand is
+# LOOP-VARIANT (the real pipeline: the map is a carried state) — measured
+# ~540 us per 15-iteration match at bench scale (scripts/bench_pallas_gn.py),
+# 30x the hoisted-operand cost.  This variant replaces the chained gather with
+# two one-hot ROW matmuls per iteration on the MXU (rows yi and yi+1 of a
+# per-level row-padded table view built once per match) plus a lane-select:
+# the FLOPs are trivial for the MXU and nothing depends on the gather rate.
+#
+# Exactness: a one-hot row selects a single table entry (1.0*x plus exact
+# zeros), so with full-precision matmuls the selected neighbor values — and
+# therefore the whole match — are BIT-IDENTICAL to the take()-based kernel
+# (tests/test_hector_ops.py); `precision="default"` instead lets the MXU
+# round the table to bf16 (fast path; ~0.4% value noise, ATE-gated in
+# bench.py before it can become the headline).
+# ---------------------------------------------------------------------------
+
+def row_table_lanes(cfg) -> int:
+    return max(128, -(-max(cfg.level_sizes) // 128) * 128)
+
+
+def row_table_offsets(cfg) -> Tuple[Tuple[int, ...], int]:
+    """Per-level starting ROW inside the stacked row table, and total rows."""
+    offs, r = [], 0
+    for s in cfg.level_sizes:
+        offs.append(r)
+        r += s
+    return tuple(offs), r
+
+
+def build_row_table(table: jnp.ndarray, cfg) -> jnp.ndarray:
+    """Stack every pyramid level's rows, lane-padded, into f32[R, lanes].
+    One ~1.4 MB copy per match call, loop-invariant across GN iterations."""
+    lanes = row_table_lanes(cfg)
+    parts = []
+    for level in range(cfg.num_levels):
+        w = cfg.level_sizes[level]
+        off = cfg.level_offsets[level]
+        g = table[off:off + w * w].reshape(w, w)
+        parts.append(jnp.pad(g, ((0, 0), (0, lanes - w))))
+    return jnp.concatenate(parts, axis=0)
+
+
+def fused_gn_iteration_onehot_stats(table2d: jnp.ndarray, row_off: int,
+                                    width: int, scale: float, pose_px,
+                                    X, Y, valid, deriv_clamp: float = 0.2,
+                                    xy_clamp: float = 0.0,
+                                    damping: float = 0.0,
+                                    precision: str = "highest"):
+    """fused_gn_iteration_stats with the gather as one-hot MXU matmuls.
+
+    table2d: build_row_table output; row_off: this level's first row."""
+    sr, cr, mx, my, ok, xi, yi = _gn_coords(width, scale, pose_px, X, Y, valid)
+    n = X.shape[0]
+    total_rows = table2d.shape[0]
+    lanes = table2d.shape[1]
+
+    ry = row_off + yi
+    rsel = jnp.concatenate([ry, ry + 1])                      # [2N]
+    oh_rows = (rsel[:, None]
+               == jnp.arange(total_rows, dtype=ry.dtype)).astype(jnp.float32)
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest" else None)
+    sel = jnp.dot(oh_rows, table2d, precision=prec)           # [2N, lanes]
+
+    lane = jnp.arange(lanes, dtype=xi.dtype)
+    oh0 = (xi[:, None] == lane).astype(jnp.float32)           # [N, lanes]
+    oh1 = ((xi + 1)[:, None] == lane).astype(jnp.float32)
+    r0, r1 = sel[:n], sel[n:]
+    raw = jnp.stack([(r0 * oh0).sum(axis=1), (r0 * oh1).sum(axis=1),
+                     (r1 * oh0).sum(axis=1), (r1 * oh1).sum(axis=1)])
+    v = jax.nn.sigmoid(raw)
+    return _gn_tail(v, mx, my, xi, yi, ok, X, Y, sr, cr, pose_px, deriv_clamp,
+                    True, xy_clamp, damping)
 
 
 def fused_gn_iteration(table: jnp.ndarray, offset: int, width: int,
@@ -257,6 +348,87 @@ def fused_gn_iteration_batch(flat: jnp.ndarray, cells: int, offset: int,
                      gx * gx, gx * gy, gx * rot,
                      gy * gy, gy * rot, rot * rot,
                      fun * fun, ok.astype(jnp.float32)]).sum(axis=2)  # [11, B]
+    d0, d1, d2, H00, H01, H02, H11, H12, H22 = red[:9]
+    s0, s1, s2, solve_ok = _solve_scalar(H00, H01, H02, H11, H12, H22,
+                                         d0, d1, d2, deriv_clamp, xy_clamp,
+                                         damping)
+    new_poses = jnp.stack([poses_px[:, 0] + s0, poses_px[:, 1] + s1,
+                           poses_px[:, 2] + s2], axis=1)
+    return new_poses, solve_ok, red[9], red[10]
+
+
+def build_row_table_batch(flat: jnp.ndarray, b: int, cfg) -> jnp.ndarray:
+    """Fleet twin of build_row_table: flat f32[B*cells] -> f32[B, R, lanes]."""
+    lanes = row_table_lanes(cfg)
+    cells = sum(w * w for w in cfg.level_sizes)
+    grids = flat.reshape(b, cells)
+    parts = []
+    for level in range(cfg.num_levels):
+        w = cfg.level_sizes[level]
+        off = cfg.level_offsets[level]
+        g = grids[:, off:off + w * w].reshape(b, w, w)
+        parts.append(jnp.pad(g, ((0, 0), (0, 0), (0, lanes - w))))
+    return jnp.concatenate(parts, axis=1)
+
+
+def fused_gn_iteration_batch_onehot(table3d: jnp.ndarray, row_off: int,
+                                    width: int, scale: float,
+                                    poses_px: jnp.ndarray, X, Y, valid,
+                                    deriv_clamp: float = 0.2,
+                                    xy_clamp: float = 0.0,
+                                    damping: float = 0.0,
+                                    precision: str = "bf16"):
+    """fused_gn_iteration_batch with the gather as batched one-hot matmuls.
+
+    table3d: build_row_table_batch output f32[B, R, lanes].  The batched
+    (per-instance) matmul keeps the MXU busy where the batched-operand gather
+    is rate-limited (~130M elem/s, docs/PERF.md) — the fleet-matcher version
+    of the single-instance one-hot trick."""
+    b = poses_px.shape[0]
+    total_rows = table3d.shape[1]
+    lanes = table3d.shape[2]
+    sr = jnp.sin(poses_px[:, 2]) * scale
+    cr = jnp.cos(poses_px[:, 2]) * scale
+    mx = cr[:, None] * X - sr[:, None] * Y + poses_px[:, 0][:, None]
+    my = sr[:, None] * X + cr[:, None] * Y + poses_px[:, 1][:, None]
+    ok = valid & (mx >= 0.0) & (mx <= width - 2) & (my >= 0.0) \
+        & (my <= width - 2)
+    xi = jnp.clip(mx.astype(jnp.int32), 0, width - 2)
+    yi = jnp.clip(my.astype(jnp.int32), 0, width - 2)
+
+    ry = row_off + yi                                       # [B, N]
+    rsel = jnp.concatenate([ry, ry + 1], axis=1)            # [B, 2N]
+    iota_r = jnp.arange(total_rows, dtype=ry.dtype)
+    oh_rows = (rsel[:, :, None] == iota_r).astype(jnp.float32)   # [B, 2N, R]
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest" else None)
+    sel = jnp.einsum("bnr,brl->bnl", oh_rows, table3d,
+                     precision=prec)                        # [B, 2N, lanes]
+
+    n = X.shape[1]
+    lane = jnp.arange(lanes, dtype=xi.dtype)
+    oh0 = (xi[:, :, None] == lane).astype(jnp.float32)      # [B, N, lanes]
+    oh1 = ((xi + 1)[:, :, None] == lane).astype(jnp.float32)
+    r0, r1 = sel[:, :n], sel[:, n:]
+    v = jax.nn.sigmoid(jnp.stack([
+        (r0 * oh0).sum(axis=2), (r0 * oh1).sum(axis=2),
+        (r1 * oh0).sum(axis=2), (r1 * oh1).sum(axis=2)]))   # [4, B, N]
+
+    fx = mx - xi
+    fy = my - yi
+    xf, yf = 1.0 - fx, 1.0 - fy
+    val = (v[0] * xf + v[1] * fx) * yf + (v[2] * xf + v[3] * fx) * fy
+    gx = -((v[0] - v[1]) * xf + (v[2] - v[3]) * fx)
+    gy = -((v[0] - v[2]) * yf + (v[1] - v[3]) * fy)
+    z = jnp.float32(0.0)
+    gx = jnp.where(ok, gx, z)
+    gy = jnp.where(ok, gy, z)
+    fun = jnp.where(ok, 1.0 - val, z)
+    rot = (-sr[:, None] * X - cr[:, None] * Y) * gx \
+        + (cr[:, None] * X - sr[:, None] * Y) * gy
+    red = jnp.stack([gx * fun, gy * fun, rot * fun,
+                     gx * gx, gx * gy, gx * rot,
+                     gy * gy, gy * rot, rot * rot,
+                     fun * fun, ok.astype(jnp.float32)]).sum(axis=2)
     d0, d1, d2, H00, H01, H02, H11, H12, H22 = red[:9]
     s0, s1, s2, solve_ok = _solve_scalar(H00, H01, H02, H11, H12, H22,
                                          d0, d1, d2, deriv_clamp, xy_clamp,

@@ -181,3 +181,47 @@ def test_fleet_over_mesh_equals_local_fleets():
     # differently for the sharded vs unsharded program shapes
     np.testing.assert_allclose(np.asarray(sharded_states.match_pose),
                                np.concatenate(dense_poses), rtol=0, atol=2e-5)
+
+
+def test_fleet_onehot_matcher_identical_to_gather():
+    # batched one-hot MXU gather == batched take() gather, bit-for-bit (on
+    # CPU matmuls are exact f32; on TPU the "highest" precision mode is the
+    # exact one — bench.py ATE-gates the bf16 fast path)
+    import dataclasses
+    cfg = HectorConfig(num_levels=2, map_size=128, estimate_iterations=(5, 4),
+                       map_resolution=0.3125)
+    sim = SimConfig()
+    fld = default_field()
+    angles = jnp.asarray(lidar.revolution_angles(200))
+    starts = np.asarray([[20.0, 20.0, 0.0], [26.0, 12.0, 1.0],
+                         [12.0, 28.0, -0.7], [24.0, 28.0, 2.0]], np.float32)
+    b = starts.shape[0]
+    states = fleet.init_fleet(cfg, starts)
+
+    key = jax.random.PRNGKey(4)
+
+    def scans(key):
+        keys = jax.random.split(key, b)
+
+        def one(p, k):
+            return lidar.scan_revolution(fld, p, angles, sim.max_scan_dist,
+                                         sim.measure_error, k)
+        radii, valid = jax.vmap(one)(jnp.asarray(starts), keys)
+        pts = jnp.stack([radii * jnp.cos(angles)[None],
+                         radii * jnp.sin(angles)[None]], -1)
+        return pts, valid
+
+    for t in range(6):
+        key, sub = jax.random.split(key)
+        pts, valid = scans(sub)
+        states, _ = fleet.update_fleet(states, pts, valid, cfg,
+                                       map_without_matching=True)
+
+    key, sub = jax.random.split(key)
+    pts, valid = scans(sub)
+    plain, _ = fleet.update_fleet(states, pts, valid, cfg)
+    oh_cfg = dataclasses.replace(cfg, matcher_mode="onehot_highest")
+    oh, _ = fleet.update_fleet(states, pts, valid, oh_cfg)
+    np.testing.assert_array_equal(np.asarray(oh.match_pose),
+                                  np.asarray(plain.match_pose))
+    np.testing.assert_array_equal(np.asarray(oh.maps), np.asarray(plain.maps))

@@ -134,3 +134,46 @@ def test_occupancy_cap_blocks_further_occupied():
         jnp.zeros(2, jnp.float32), 1.0, -0.4, 2.2))
     assert out[4 * width + 8] == 55.0  # capped: no further increment
     assert out[4 * width + 5] < 0.0    # free cells still marked
+
+
+def test_onehot_matcher_identical_to_gather():
+    # the one-hot MXU gather variant must pick IDENTICAL neighbor values, so
+    # the whole match is bit-identical to the take()-based matcher
+    import dataclasses
+    import jax
+    from slamnet_tpu.core import HectorConfig, SimConfig
+    from slamnet_tpu.core.scan import Scan
+    from slamnet_tpu.models import hector
+    from slamnet_tpu.sim import default_field, lidar
+
+    cfg = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4))
+    sim = SimConfig()
+    fld = default_field()
+    angles = jnp.asarray(lidar.revolution_angles(sim.num_scan_points))
+    truth = jnp.asarray([20.0, 20.0, 0.0], jnp.float32)
+    state = hector.init(cfg, truth)
+    key = jax.random.PRNGKey(0)
+    for t in range(6):
+        key, sub = jax.random.split(key)
+        radii, valid = lidar.scan_revolution(fld, truth, angles,
+                                             sim.max_scan_dist,
+                                             sim.measure_error, sub)
+        pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
+        state, _ = hector.update(state, Scan(pts, valid, jnp.zeros(3)),
+                                 truth, cfg, map_without_matching=True)
+
+    key, sub = jax.random.split(key)
+    radii, valid = lidar.scan_revolution(fld, truth, angles,
+                                         sim.max_scan_dist,
+                                         sim.measure_error, sub)
+    pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
+    scan = Scan(pts, valid, jnp.zeros(3))
+    hint = truth + jnp.asarray([0.2, -0.15, 0.04])
+
+    pose_g, stats_g = hector.match_with_stats(state.maps, scan, hint, cfg)
+    oh = dataclasses.replace(cfg, matcher_mode="onehot_highest")
+    pose_o, stats_o = hector.match_with_stats(state.maps, scan, hint, oh)
+    np.testing.assert_array_equal(np.asarray(pose_o), np.asarray(pose_g))
+    assert int(stats_o.solve_failures) == int(stats_g.solve_failures)
+    np.testing.assert_array_equal(np.asarray(stats_o.residual),
+                                  np.asarray(stats_g.residual))

@@ -93,3 +93,39 @@ def test_ring_log_trimming():
         log.log(str(i))
     assert len(log.items) == 31
     assert log.items[0] == "Information: 100"
+
+
+def test_sharded_checkpoint_roundtrip_across_mesh_shapes(tmp_path):
+    # save on a tile=4 mesh, restore on tile=2 — the checkpoint is dense, so
+    # the mesh shape may change across restarts (elastic restart)
+    import jax as _jax
+    import pytest
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import jax.numpy as jnp
+    from slamnet_tpu.core import HectorConfig
+    from slamnet_tpu.io import checkpoint
+    from slamnet_tpu.models import hector, hector_sharded
+    from slamnet_tpu.parallel import make_mesh
+
+    cfg = HectorConfig(num_levels=2, map_size=64, estimate_iterations=(3, 3),
+                       map_resolution=0.625)
+    rng = np.random.default_rng(0)
+    dense = hector.init(cfg, (20.0, 20.0, 0.0))
+    dense = dense._replace(
+        maps=jnp.asarray(rng.normal(0, 1, cfg.total_cells), jnp.float32))
+
+    mesh4 = make_mesh({"tile": 4, "search": 2})
+    sh = hector_sharded.shard_state(mesh4, dense, cfg)
+    path = str(tmp_path / "ckpt")
+    checkpoint.save_sharded(path, sh, cfg, metadata={"scan": 7})
+    assert checkpoint.load_metadata(path)["scan"] == 7
+
+    mesh2 = make_mesh({"tile": 2, "search": 4})
+    like = hector.init(cfg, (0.0, 0.0, 0.0))
+    back = checkpoint.restore_sharded(path, mesh2, cfg, like)
+    np.testing.assert_array_equal(
+        np.asarray(hector_sharded.unshard_maps(back, cfg)),
+        np.asarray(dense.maps))
+    np.testing.assert_array_equal(np.asarray(back.match_pose),
+                                  np.asarray(dense.match_pose))
