@@ -4,6 +4,11 @@
 On-device lax.scan replay over a simulated loop, same harness as bench.py's
 Hector measurement; reports scans/s and final-pose error for each mode.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import dataclasses
 import time
 import numpy as np

@@ -12,6 +12,11 @@ a WxW window of integer pixel shifts.  Candidates:
   gather_rows— ONE gather of (1,W) row slices for each of W dy shifts folded
                into indices: K*N*W indices, slice (1,W)
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 import numpy as np
 import jax

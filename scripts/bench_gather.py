@@ -14,6 +14,11 @@ fewer indices x bigger slices should win.  Candidates:
 Each timed as 15 sequential dependent iterations (like the GN loop) inside one
 jit, replayed K times via lax.scan over dummy to amortize dispatch.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 import numpy as np
 import jax

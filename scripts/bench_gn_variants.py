@@ -9,6 +9,11 @@ Part 1: one fused_gn_iteration chain (15 iters) in replay — current vs variant
 Part 2: lax.cond(update_maps) replay with predicate always False vs always True
 vs no cond at all — where do the 325 us/scan go?
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 import numpy as np
 import jax

@@ -7,7 +7,14 @@ Variants (all 512-scan on-device replays, best of 5):
   cond+dense       — gated cond, dense polygon fill
   select+dense     — unconditional dense update, gate as jnp.where (no cond)
   select+dense+EE  — + early exit
+  single-level 7it — BASELINE config 2: one 400x400 level, no pyramid
+                     (gather and onehot_bf16 matchers)
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import dataclasses
 import time
 import numpy as np
@@ -71,11 +78,15 @@ def update_select(state, scan, cfg):
     return hector.HectorState(maps, matched, last), do_update
 
 
-@jax.jit
-def boot(state, radii, valids, poses):
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=4)
+def boot(state, radii, valids, poses, cfg=None):
+    cfg = cfg or cfg0
     def body(st, inp):
         r, v, p = inp
-        st, _ = hector.update(st, make_cloud(r, v), p, cfg0,
+        st, _ = hector.update(st, make_cloud(r, v), p, cfg,
                               map_without_matching=jnp.asarray(True))
         return st, None
     st, _ = jax.lax.scan(body, state, (radii, valids, poses))
@@ -87,7 +98,8 @@ state = boot(state, radii[:bootstrap], valids[:bootstrap], traj_d[:bootstrap])
 jax.block_until_ready(state)
 
 
-def measure(name, cfg, select):
+def measure(name, cfg, select, state_override=None):
+    st_init = state if state_override is None else state_override
     if select:
         @jax.jit
         def replay(state, radii, valids):
@@ -107,12 +119,12 @@ def measure(name, cfg, select):
                 return st, (st.match_pose, info.map_updated)
             return jax.lax.scan(body, state, (radii, valids))
 
-    stf, (poses, upd) = replay(state, radii[bootstrap:], valids[bootstrap:])
+    stf, (poses, upd) = replay(st_init, radii[bootstrap:], valids[bootstrap:])
     jax.block_until_ready(stf)
     best = float("inf")
     for _ in range(5):
         t0 = time.time()
-        out = replay(state, radii[bootstrap:], valids[bootstrap:])
+        out = replay(st_init, radii[bootstrap:], valids[bootstrap:])
         jax.block_until_ready(out[0])
         best = min(best, time.time() - t0)
     err = np.asarray(poses) - traj[bootstrap:]
@@ -131,3 +143,16 @@ measure("cond+line+EE", ee, select=False)
 measure("cond+dense", dense, select=False)
 measure("select+dense", dense, select=True)
 measure("select+dense+EE", dense_ee, select=True)
+
+# BASELINE config 2: single-level 400x400 GN matcher (no pyramid).  The
+# kernel cost is resolution-independent (same pixels/beams/iterations); run
+# at the sim's 0.1 m/px so the 40 m field fits the map.  7 GN iterations.
+single = HectorConfig(num_levels=1, map_size=400, estimate_iterations=(7,))
+sstate = hector.init(single, traj[0])
+sstate = boot(sstate, radii[:bootstrap], valids[:bootstrap],
+              traj_d[:bootstrap], single)
+jax.block_until_ready(sstate)
+measure("single-level 7it", single, select=False, state_override=sstate)
+measure("single-level 7it onehot_bf16",
+        dataclasses.replace(single, matcher_mode="onehot_bf16"), select=False,
+        state_override=sstate)

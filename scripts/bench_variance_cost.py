@@ -6,6 +6,11 @@
   m3: match-only + full maps copy (maps + 0.0 * data)
   m4: full hector.update with gate thresholds at +inf (cond never fires)
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import dataclasses
 import time
 import numpy as np

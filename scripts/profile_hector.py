@@ -7,6 +7,11 @@ Measures, each as best-of-5 on-device lax.scan replays over the same scan log:
   C. update_maps EVERY scan (upper bound on the scatter cost)
   D. full update, gate forced off via impossible thresholds
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 import dataclasses
 import numpy as np

@@ -220,6 +220,20 @@ class ParticleConfig(_Overlayable):
     top_k: int = 64                     # refine budget after coarse scoring
     refine_candidates: int = 64         # per-survivor local perturbations
     resample_ess_frac: float = 0.5      # resample when ESS < frac * N
+    scorer: str = "exact"
+    # Population scoring kernel.  "exact": one fused [P, N] gather batch per
+    # scan (the BASELINE config-4 contract; gather-rate bound, docs/PERF.md).
+    # "grid": the correlative count-grid x shifted-planes MXU scorer
+    # (ops/correlate) evaluated once per scan on the ccfg.corr_* grid around
+    # the odometry prior; each particle reads its nearest (theta-bin, pixel-
+    # shift) cell — scores quantized to (1 px, 1 bin), particles outside the
+    # grid score int-max.  The grid's sub-pixel argmin is injected as a
+    # refine survivor, so the estimate keeps correlative-matcher accuracy.
+    score_subsample: int = 1
+    # Beam stride for "exact" population scoring (coarse-to-fine: the
+    # population ranks on every k-th beam; the top-k refine re-scores
+    # candidates on refine_subsample).  1 = bit-exact base semantics.
+    refine_subsample: int = 1           # beam stride for the refine stage
 
 
 @dataclass(frozen=True)

@@ -12,10 +12,10 @@ from slamnet_tpu.sim import default_field, lidar
 from slamnet_tpu.sim.trajectory import loop_trajectory, stationary_trajectory
 
 
-def _run(traj, num_particles=512, top_k=16, refine=16, key=None):
+def _run(traj, num_particles=512, top_k=16, refine=16, key=None, **pknobs):
     ccfg = CoreSlamConfig()
     pcfg = ParticleConfig(num_particles=num_particles, top_k=top_k,
-                          refine_candidates=refine)
+                          refine_candidates=refine, **pknobs)
     sim = SimConfig()
     fld = default_field()
     angles = jnp.asarray(lidar.revolution_angles(sim.num_scan_points))
@@ -64,6 +64,68 @@ def test_ess_and_resampling_sane():
     _, _, infos = _run(traj)
     ess = np.asarray([float(i.ess) for i in infos])
     assert np.all(ess >= 1.0) and np.all(ess <= 512.0)
+
+
+def test_grid_scorer_on_node_scores_are_exact():
+    """A particle sitting exactly on a grid node (bin-center theta, integer
+    pixel shift) must read the SAME sum the exact scorer computes for that
+    pose (correlative_scores == score_candidates for interior points)."""
+    ccfg = CoreSlamConfig()
+    pcfg = ParticleConfig(num_particles=8, top_k=4, refine_candidates=4,
+                          scorer="grid")
+    sim = SimConfig()
+    fld = default_field()
+    angles = jnp.asarray(lidar.revolution_angles(sim.num_scan_points))
+    radii, valid = lidar.scan_revolution(fld, jnp.asarray([20.0, 20.0, 0.0]),
+                                         angles, sim.max_scan_dist,
+                                         sim.measure_error,
+                                         jax.random.PRNGKey(3))
+    pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
+    cloud = Scan(pts, valid, jnp.zeros(3, jnp.float32))
+    state = particle.init(ccfg, pcfg, [20.0, 20.0, 0.0])
+    # warm the hole map once so scores are non-trivial
+    state, _ = particle.update(state, cloud, state.pose, ccfg, pcfg)
+
+    search = jnp.asarray([20.0, 20.0, 0.0], jnp.float32)
+    span = 3.0 * ccfg.sigma_theta
+    K = ccfg.corr_num_theta
+    bins = np.asarray(jnp.linspace(-span, span, K))  # the grid's exact thetas
+    # poses exactly on grid nodes: (pixel shift dx, dy, theta-bin index)
+    nodes = np.array([[0, 0, 15], [0, 0, 16], [0, 0, 12], [0, 0, 20],
+                      [1, 0, 16], [0, -2, 15], [1, 1, 18], [-2, 1, 13]])
+    poses = jnp.asarray(
+        np.stack([20.0 + nodes[:, 0] / ccfg.hole_scale,
+                  20.0 + nodes[:, 1] / ccfg.hole_scale,
+                  bins[nodes[:, 2]]], -1), jnp.float32)
+    eff_grid, gpose, gsum = particle._grid_score(state, ccfg, cloud, search,
+                                                 poses)
+    eff_exact = particle._score(state, ccfg, cloud.points, cloud.valid, poses)
+    g, e = np.asarray(eff_grid), np.asarray(eff_exact)
+    # zero-shift on-bin poses run the IDENTICAL float pipeline -> exact equal
+    zero_shift = (nodes[:, 0] == 0) & (nodes[:, 1] == 0)
+    np.testing.assert_array_equal(g[zero_shift], e[zero_shift])
+    # shifted nodes: base-snap+shift vs particle-snap can flip points sitting
+    # on truncation boundaries (correlate.py docstring) — bounded, tiny
+    rel = np.abs(g - e) / np.maximum(e, 1)
+    assert rel.max() < 0.02, (g, e, rel)
+    # the injected grid argmin is a real pose with a finite score
+    assert np.isfinite(np.asarray(gpose)).all()
+    assert int(gsum) < int(particle.score.INT32_MAX)
+
+
+def test_grid_scorer_tracks_loop():
+    traj = loop_trajectory(speed=0.3)[:120]
+    state, errs, _ = _run(traj, scorer="grid", refine_subsample=4)
+    pos = np.linalg.norm(errs[:, :2], axis=1)
+    assert pos.max() < 1.0, pos.max()
+    assert np.abs(errs[:, 2]).max() < math.radians(10.0)
+
+
+def test_subsampled_scoring_tracks_loop():
+    traj = loop_trajectory(speed=0.3)[:120]
+    state, errs, _ = _run(traj, score_subsample=4, refine_subsample=4)
+    pos = np.linalg.norm(errs[:, :2], axis=1)
+    assert pos.max() < 1.0, pos.max()
 
 
 def test_baseline_config4_8k_compiles_and_tracks():
