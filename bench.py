@@ -164,6 +164,10 @@ def main():
     # Batched particle SLAM (BASELINE config 4): 8192 particles, full field.
     part = bench_particle(radii, valids, angles, traj, n_scans, bootstrap)
 
+    # Graph-SLAM (north-star composition): keyframes + loop closures +
+    # pose-graph optimization over a revisit trajectory.
+    grph = bench_graph(angles)
+
     print(json.dumps({
         "metric": "hector_3level_400x400_scans_per_sec_per_chip",
         "value": round(scans_per_sec, 1),
@@ -181,6 +185,7 @@ def main():
         **core,
         **flt,
         **part,
+        **grph,
     }))
     return 0
 
@@ -241,8 +246,9 @@ def bench_fleet(radii, valids, angles, traj, single_rate):
 
         pe = np.linalg.norm(np.asarray(poses)[:, :, :2] - tr[boot:, :, :2],
                             axis=-1)
+        inst_ate = np.sqrt((pe ** 2).mean(axis=0))   # per-instance ATE [B]
         return (T * B / best, float(np.sqrt((pe ** 2).mean())),
-                float(pe.max()))
+                float(pe.max()), float(np.median(inst_ate)))
 
     modes = {}
     for name, cfg in (
@@ -256,9 +262,13 @@ def bench_fleet(radii, valids, angles, traj, single_rate):
                 base, matcher_mode="onehot_bf16")),
             ("sub4_onehot", dataclasses.replace(
                 base, match_subsample=4, matcher_mode="onehot_bf16"))):
-        rate, ate, mx = run(cfg)
+        rate, ate, mx, med = run(cfg)
+        # ate_m is RMS over ALL instance-scans — dominated by the two
+        # degenerate bootstrap slices (docs/PERF.md robustness note);
+        # ate_median_m is the typical instance (reference-grade tracking)
         modes[name] = {"instance_scans_per_sec": round(rate, 1),
-                       "ate_m": round(ate, 4), "max_err_m": round(mx, 3)}
+                       "ate_m": round(ate, 4), "max_err_m": round(mx, 3),
+                       "ate_median_m": round(med, 4)}
 
     # accuracy gate: fastest mode within 2x the no-subsample ATE
     bound = 2.0 * modes["sub1"]["ate_m"]
@@ -271,9 +281,97 @@ def bench_fleet(radii, valids, angles, traj, single_rate):
         "fleet_instance_scans_per_sec": rate,
         "fleet_vs_single_instance": round(rate / single_rate, 2),
         "fleet_ate_m": modes[headline]["ate_m"],
+        "fleet_ate_median_m": modes[headline]["ate_median_m"],
         "fleet_max_err_m": modes[headline]["max_err_m"],
         "fleet_ate_bound_m": round(bound, 4),
         "fleet_modes": modes,
+    }
+
+
+def bench_graph(angles, n_scans=512, bootstrap=12):
+    """Graph-SLAM (north-star composition) throughput: hector matching +
+    keyframe gate + loop-closure matching + pose-graph optimization
+    (models/graph_slam.py) over a 512-scan revisit trajectory — forward/back
+    passes so loop closures actually fire (the bench loop path never
+    re-approaches an old keyframe within the closure radius)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from slamnet_tpu.core import HectorConfig, PoseGraphConfig, SimConfig
+    from slamnet_tpu.core.scan import Scan
+    from slamnet_tpu.models import graph_slam
+    from slamnet_tpu.sim import default_field, lidar
+
+    sim = SimConfig()
+    hcfg = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4))
+    gcfg = PoseGraphConfig()
+
+    # revisit trajectory: still warmup, then forward/back passes along +x
+    legs = n_scans - bootstrap
+    leg = legs // 4
+    fwd = np.stack([np.linspace(20.0, 24.0, leg), np.full(leg, 20.0),
+                    np.zeros(leg)], -1).astype(np.float32)
+    back = fwd[::-1].copy()
+    still = np.tile(np.asarray([20.0, 20.0, 0.0], np.float32),
+                    (n_scans - 4 * leg, 1))
+    traj = np.concatenate([still, fwd, back, fwd, back])
+
+    cpu = jax.devices("cpu")[0]
+    fld = default_field()
+    with jax.default_device(cpu):
+        fld_c = jax.tree.map(lambda x: jax.device_put(x, cpu), fld)
+        angles_c = jax.device_put(jnp.asarray(np.asarray(angles)), cpu)
+
+        @jax.jit
+        def genlog(poses, key):
+            keys = jax.random.split(key, poses.shape[0])
+
+            def one(p, k):
+                return lidar.scan_revolution(fld_c, p, angles_c,
+                                             sim.max_scan_dist,
+                                             sim.measure_error, k)
+            return jax.vmap(one)(poses, keys)
+
+        radii_c, valids_c = genlog(
+            jax.device_put(jnp.asarray(traj), cpu),
+            jax.device_put(jax.random.PRNGKey(7), cpu))
+
+    dev = jax.devices()[0]
+    radii = jax.device_put(np.asarray(radii_c), dev)
+    valids = jax.device_put(np.asarray(valids_c), dev)
+
+    state = graph_slam.init(hcfg, gcfg, traj[0], int(angles.shape[0]))
+
+    @jax.jit
+    def replay(state, radii, valids, force):
+        def body(st, inp):
+            rr, vv, f = inp
+            pts = jnp.stack([rr * jnp.cos(angles), rr * jnp.sin(angles)], -1)
+            st, info = graph_slam.update(
+                st, Scan(pts, vv, jnp.zeros(3, jnp.float32)), hcfg, gcfg,
+                map_without_matching=f)
+            return st, st.hector.match_pose
+        return jax.lax.scan(body, state, (radii, valids, force))
+
+    force = jnp.arange(n_scans) < bootstrap
+    stf, poses = replay(state, radii, valids, force)
+    jax.block_until_ready(stf)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        stf, poses = replay(state, radii, valids, force)
+        jax.block_until_ready(stf)
+        best = min(best, time.time() - t0)
+
+    err = np.asarray(poses)[bootstrap:] - traj[bootstrap:]
+    pe = np.linalg.norm(err[:, :2], axis=1)
+    return {
+        "graph_scans_per_sec": round(n_scans / best, 1),
+        "graph_ate_m": round(float(np.sqrt((pe ** 2).mean())), 4),
+        "graph_max_err_m": round(float(pe.max()), 4),
+        "graph_keyframes": int(np.asarray(stf.graph.num_nodes)),
+        "graph_loop_closures": int(np.asarray(stf.loop_count)),
     }
 
 
