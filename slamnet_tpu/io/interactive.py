@@ -196,27 +196,40 @@ class InteractiveSession:
     # ---- state for the browser ----
 
     def frame(self, level: int = 0) -> dict:
-        """JSON-ready snapshot: map PNG (b64) + poses + stats."""
+        """JSON-ready snapshot: map PNG (b64) + poses + stats.
+
+        `level` selects a Hector pyramid level; level == -1 renders the
+        CoreSLAM hole map instead (the reference's SLAM-selector combo box,
+        MainWindow.xaml:20-27 / Draw() hole-map branch :227-249)."""
         from . import export
         from .live import _png_b64
-        level = max(0, min(self.hcfg.num_levels - 1, int(level)))
-        size = self.hcfg.level_sizes[level]
-        off = self.hcfg.level_offsets[level]
-        maps = np.asarray(self.hstate.maps)
-        bmp = export.occupancy_bitmap(maps[off:off + size * size], size)
+        level = int(level)
+        if level < 0 and self.cstate is not None:
+            size = self.ccfg.hole_map_size
+            bmp = (export.hole_map_u16(np.asarray(self.cstate.hole_map), size)
+                   >> 8).astype(np.uint8)   # Gray16 -> 8-bit for the PNG
+            level, res = -1, self.ccfg.physical_map_size / size
+        else:
+            level = max(0, min(self.hcfg.num_levels - 1, level))
+            size = self.hcfg.level_sizes[level]
+            off = self.hcfg.level_offsets[level]
+            maps = np.asarray(self.hstate.maps)
+            bmp = export.occupancy_bitmap(maps[off:off + size * size], size)
+            res = float(self.hcfg.level_resolutions[level])
         with self._lock:
             real = [float(v) for v in self.real_pose]
         out = {
             "png": _png_b64(np.flipud(np.asarray(bmp).reshape(size, size))),
             "level": level,
             "size": size,
-            "res": float(self.hcfg.level_resolutions[level]),
+            "res": res,
             "real": real,
             "hector": [float(v) for v in np.asarray(self.hstate.match_pose)],
             "scan": int(self.loops),
             "rate": round(self.scan_rate_ema, 1),
             "diverged_at": self.diverged_at,
             "levels": list(self.hcfg.level_sizes),
+            "has_coreslam": self.cstate is not None,
         }
         if self.cstate is not None:
             out["coreslam"] = [float(v) for v in np.asarray(self.cstate.pose)]
@@ -356,12 +369,18 @@ async function poll() {
   try {
     const r = await fetch('/state?level=' + (levelSel.value || 0));
     state = await r.json();
-    if (!levelSel.options.length)
+    if (!levelSel.options.length) {
       state.levels.forEach((s, i) => {
         const o = document.createElement('option');
-        o.value = i; o.textContent = `${i} (${s}px)`;
+        o.value = i; o.textContent = `hector ${i} (${s}px)`;
         levelSel.appendChild(o);
       });
+      if (state.has_coreslam) {
+        const o = document.createElement('option');
+        o.value = -1; o.textContent = 'coreslam hole map';
+        levelSel.appendChild(o);
+      }
+    }
     img.onload = draw;
     img.src = 'data:image/png;base64,' + state.png;
   } catch (e) {}

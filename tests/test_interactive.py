@@ -60,6 +60,11 @@ def test_frame_snapshot(session):
     assert f["levels"] == list(session.hcfg.level_sizes)
     # out-of-range level clamps instead of crashing
     assert session.frame(level=99)["level"] == session.hcfg.num_levels - 1
+    # level -1 = the CoreSLAM hole-map layer (the reference's SLAM selector)
+    h = session.frame(level=-1)
+    assert h["level"] == -1
+    assert h["size"] == session.ccfg.hole_map_size
+    assert len(h["png"]) > 100
 
 
 def test_reset(session):
