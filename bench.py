@@ -253,15 +253,19 @@ def bench_fleet(radii, valids, angles, traj, single_rate):
     modes = {}
     for name, cfg in (
             ("sub1", base),
-            ("sub2", dataclasses.replace(base, match_subsample=2)),
             ("sub4", dataclasses.replace(base, match_subsample=4)),
-            ("sub4_noguards", dataclasses.replace(
-                base, match_subsample=4, xy_step_clamp_px=0.0,
-                max_match_jump=0.0)),
-            ("sub1_onehot", dataclasses.replace(
-                base, matcher_mode="onehot_bf16")),
             ("sub4_onehot", dataclasses.replace(
-                base, match_subsample=4, matcher_mode="onehot_bf16"))):
+                base, match_subsample=4, matcher_mode="onehot_bf16")),
+            # the round-2 throughput point: a deferring update budget buys
+            # ~25% throughput at ~25x the median-instance ATE (the dominant
+            # fleet accuracy cost, docs/PERF.md round-3) — kept as the
+            # measured trade, excluded from the headline by the gate
+            ("sub4_onehot_cap8", dataclasses.replace(
+                base, match_subsample=4, matcher_mode="onehot_bf16",
+                fleet_update_capacity=8)),
+            ("sub4_onehot_cap32", dataclasses.replace(
+                base, match_subsample=4, matcher_mode="onehot_bf16",
+                fleet_update_capacity=32))):
         rate, ate, mx, med = run(cfg)
         # ate_m is RMS over ALL instance-scans — dominated by the two
         # degenerate bootstrap slices (docs/PERF.md robustness note);

@@ -151,11 +151,16 @@ class HectorConfig(_Overlayable):
     # (corridor views make H near-singular along the corridor axis and a raw
     # GN step can throw the pose off-map; the reference shares this failure
     # mode, README.md:39).  ~0.1 recommended for production serving.
-    fleet_update_capacity: int = 8
+    fleet_update_capacity: int = 1 << 30
     # Max instances whose gated map update runs per fleet batch-scan
-    # (models/fleet.update_fleet phase 3).  Instances beyond the budget defer
-    # one scan (their gate stays armed).  Size it >= B/18 + burst margin so
-    # deferral stays rare under the reference's ~1-in-18 gate statistics.
+    # (models/fleet.update_fleet phase 3; effective cap = min(B, this)).
+    # Instances beyond the budget defer one scan (their gate stays armed).
+    # Default = unlimited (every gated instance updates): measured at B=64 on
+    # v5e, budget deferral was the DOMINANT fleet accuracy cost — cap=8 gave
+    # median instance ATE 0.089 m vs 0.0033 m uncapped, for only ~25% more
+    # throughput (docs/PERF.md round-3 fleet findings).  Cap it only when
+    # map-update bandwidth is provably the bottleneck and the ATE trade is
+    # measured; per-shard in the mesh fleet, so capacity scales with devices.
     offset: Tuple[float, float] = (0.0, 0.0)  # map offset (MapRepMultiMap passes zero)
 
     @property
