@@ -307,6 +307,8 @@ def bench_graph(angles, n_scans=512, bootstrap=12):
     from slamnet_tpu.models import graph_slam
     from slamnet_tpu.sim import default_field, lidar
 
+    import dataclasses
+
     sim = SimConfig()
     hcfg = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4))
     gcfg = PoseGraphConfig()
@@ -345,37 +347,58 @@ def bench_graph(angles, n_scans=512, bootstrap=12):
     radii = jax.device_put(np.asarray(radii_c), dev)
     valids = jax.device_put(np.asarray(valids_c), dev)
 
-    state = graph_slam.init(hcfg, gcfg, traj[0], int(angles.shape[0]))
-
-    @jax.jit
-    def replay(state, radii, valids, force):
-        def body(st, inp):
-            rr, vv, f = inp
-            pts = jnp.stack([rr * jnp.cos(angles), rr * jnp.sin(angles)], -1)
-            st, info = graph_slam.update(
-                st, Scan(pts, vv, jnp.zeros(3, jnp.float32)), hcfg, gcfg,
-                map_without_matching=f)
-            return st, st.hector.match_pose
-        return jax.lax.scan(body, state, (radii, valids, force))
-
     force = jnp.arange(n_scans) < bootstrap
-    stf, poses = replay(state, radii, valids, force)
-    jax.block_until_ready(stf)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
+
+    def run(hcfg_x):
+        state = graph_slam.init(hcfg_x, gcfg, traj[0], int(angles.shape[0]))
+
+        @jax.jit
+        def replay(state, radii, valids, force):
+            def body(st, inp):
+                rr, vv, f = inp
+                pts = jnp.stack([rr * jnp.cos(angles),
+                                 rr * jnp.sin(angles)], -1)
+                st, info = graph_slam.update(
+                    st, Scan(pts, vv, jnp.zeros(3, jnp.float32)), hcfg_x, gcfg,
+                    map_without_matching=f)
+                return st, st.hector.match_pose
+            return jax.lax.scan(body, state, (radii, valids, force))
+
         stf, poses = replay(state, radii, valids, force)
         jax.block_until_ready(stf)
-        best = min(best, time.time() - t0)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            stf, poses = replay(state, radii, valids, force)
+            jax.block_until_ready(stf)
+            best = min(best, time.time() - t0)
 
-    err = np.asarray(poses)[bootstrap:] - traj[bootstrap:]
-    pe = np.linalg.norm(err[:, :2], axis=1)
+        err = np.asarray(poses)[bootstrap:] - traj[bootstrap:]
+        pe = np.linalg.norm(err[:, :2], axis=1)
+        return {"scans_per_sec": round(n_scans / best, 1),
+                "ate_m": round(float(np.sqrt((pe ** 2).mean())), 4),
+                "max_err_m": round(float(pe.max()), 4),
+                "keyframes": int(np.asarray(stf.graph.num_nodes)),
+                "loop_closures": int(np.asarray(stf.loop_count))}
+
+    # gather matcher = the parity configuration; the one-hot MXU matcher is
+    # eligible for the headline only if it holds the parity ATE (mirror of the
+    # hector_modes gate — a faster matcher may not trade tracking or drop the
+    # loop closures that give graph-SLAM its accuracy).
+    modes = {"gather": run(hcfg)}
+    modes["onehot_bf16"] = run(
+        dataclasses.replace(hcfg, matcher_mode="onehot_bf16"))
+    base = modes["gather"]
+    pick = max((m for m in modes.values()
+                if m["ate_m"] <= base["ate_m"] + 1e-4),
+               key=lambda m: m["scans_per_sec"])
     return {
-        "graph_scans_per_sec": round(n_scans / best, 1),
-        "graph_ate_m": round(float(np.sqrt((pe ** 2).mean())), 4),
-        "graph_max_err_m": round(float(pe.max()), 4),
-        "graph_keyframes": int(np.asarray(stf.graph.num_nodes)),
-        "graph_loop_closures": int(np.asarray(stf.loop_count)),
+        "graph_scans_per_sec": pick["scans_per_sec"],
+        "graph_ate_m": pick["ate_m"],
+        "graph_max_err_m": pick["max_err_m"],
+        "graph_keyframes": pick["keyframes"],
+        "graph_loop_closures": pick["loop_closures"],
+        "graph_modes": modes,
     }
 
 
