@@ -148,9 +148,20 @@ def init(mesh: Mesh, cfg: HectorConfig, start_pose,
 # ----------------------------- the SPMD step --------------------------------
 
 def _local_gn_reduce(local, loff, width, rows, r0, height, scale, pose_px,
-                     X, Y, valid, axes):
+                     X, Y, valid, axes, matcher_mode: str = "gather"):
     """Partial [11]-row GN reduction over (own beams x own rows), psum'd over
-    both mesh axes — the sharded twin of ops.gn._fused_gn_core's reduction."""
+    both mesh axes — the sharded twin of ops.gn._fused_gn_core's reduction.
+
+    matcher_mode (trace-time): "gather" fetches the 4 bilinear neighbors with
+    take(); "onehot_highest"/"onehot_bf16" fetch them as two one-hot ROW
+    matmuls against this tile's [rows+1, width] level view (owned rows + the
+    halo row) plus lane selects — the sharded twin of
+    ops.gn.fused_gn_iteration_onehot_stats, so the multi-device pipeline has
+    the same MXU escape from the loop-variant gather wall as the single-chip
+    headline (docs/PERF.md).  "onehot_highest" selects entries exactly (1.0*x
+    + exact zeros) and is bit-identical to the gather form
+    (tests/test_hector_sharded.py); "onehot_bf16" lets the MXU round the
+    table to bf16."""
     sr = jnp.sin(pose_px[2]) * scale
     cr = jnp.cos(pose_px[2]) * scale
     mx = cr * X - sr * Y + pose_px[0]
@@ -162,11 +173,32 @@ def _local_gn_reduce(local, loff, width, rows, r0, height, scale, pose_px,
     mine = in_b & (yi >= r0) & (yi < r0 + rows)
     ly = jnp.where(mine, yi - r0, 0)
     lx = jnp.where(mine, xi, 0)
-    base = loff + ly * width + lx
-    # halo row sits right after the owned rows: base + width is valid even on
-    # the last owned row
-    idx = jnp.stack([base, base + 1, base + width, base + width + 1])
-    v = jax.nn.sigmoid(jnp.take(local, idx))
+    if matcher_mode == "gather":
+        base = loff + ly * width + lx
+        # halo row sits right after the owned rows: base + width is valid
+        # even on the last owned row
+        idx = jnp.stack([base, base + 1, base + width, base + width + 1])
+        raw = jnp.take(local, idx)
+    else:
+        # ly <= rows-1 so ly+1 <= rows: both rows live inside the view
+        # (the halo row is the view's last row)
+        view = jax.lax.dynamic_slice(
+            local, (loff,), ((rows + 1) * width,)).reshape(rows + 1, width)
+        ry = jnp.concatenate([ly, ly + 1])                       # [2N]
+        oh_rows = (ry[:, None] == jnp.arange(rows + 1, dtype=ry.dtype)
+                   ).astype(jnp.float32)
+        prec = (jax.lax.Precision.HIGHEST
+                if matcher_mode == "onehot_highest" else None)
+        sel = jnp.dot(oh_rows, view, precision=prec)             # [2N, width]
+        lane = jnp.arange(width, dtype=lx.dtype)
+        oh0 = (lx[:, None] == lane).astype(jnp.float32)
+        oh1 = ((lx + 1)[:, None] == lane).astype(jnp.float32)
+        n = X.shape[0]
+        rlo, rhi = sel[:n], sel[n:]
+        # order matches the gather stack: (y,x) (y,x+1) (y+1,x) (y+1,x+1)
+        raw = jnp.stack([(rlo * oh0).sum(axis=1), (rlo * oh1).sum(axis=1),
+                         (rhi * oh0).sum(axis=1), (rhi * oh1).sum(axis=1)])
+    v = jax.nn.sigmoid(raw)
     fx = mx - xi
     fy = my - yi
     xf, yf = 1.0 - fx, 1.0 - fy
@@ -280,7 +312,8 @@ def local_full_step(local, match_pose, last_update_pose, X, Y, valid, force,
 
         def one_iter(p):
             red = _local_gn_reduce(local, loffs[level], width, rows, r0,
-                                   width, scale, p, X, Y, valid, axes)
+                                   width, scale, p, X, Y, valid, axes,
+                                   matcher_mode=cfg.matcher_mode)
             d0, d1, d2, H00, H01, H02, H11, H12, H22 = red[:9]
             s0, s1, s2, ok = _solve_scalar(H00, H01, H02, H11, H12, H22,
                                            d0, d1, d2, cfg.deriv_clamp,

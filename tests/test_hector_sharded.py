@@ -141,6 +141,42 @@ def test_tile8_padded_rows_equal_dense():
     assert int(sinfo.gn_iterations) == int(dinfo.gn_iterations)
 
 
+def test_onehot_matcher_modes():
+    # the sharded one-hot MXU matcher (matcher_mode="onehot_highest"): the
+    # one-hot row matmuls against the [rows+1, width] tile view must select
+    # entries EXACTLY, so the whole sharded replay is BIT-identical to the
+    # sharded gather matcher; onehot_bf16 (MXU-rounded table) must stay within
+    # match tolerance of it.
+    import dataclasses
+    n = 24
+    bootstrap = 10
+    traj, pts, valids = _scan_log(n)
+    mesh = _mesh()
+
+    def replay(cfg):
+        sh = hector_sharded.shard_state(
+            mesh, hector.init(cfg, traj[0]), cfg)
+        step = hector_sharded.make_step(mesh, cfg, pts.shape[1])
+        poses = []
+        for t in range(n):
+            force = jnp.asarray(t < bootstrap)
+            if t < bootstrap:
+                sh = sh._replace(match_pose=jnp.asarray(traj[t], jnp.float32))
+            sh, _ = step(sh, pts[t], valids[t], force)
+            poses.append(np.asarray(sh.match_pose))
+        return np.asarray(poses), np.asarray(
+            hector_sharded.unshard_maps(sh, cfg))
+
+    g_poses, g_maps = replay(CFG)
+    oh_poses, oh_maps = replay(
+        dataclasses.replace(CFG, matcher_mode="onehot_highest"))
+    np.testing.assert_array_equal(oh_poses, g_poses)
+    np.testing.assert_array_equal(oh_maps, g_maps)
+
+    bf_poses, _ = replay(dataclasses.replace(CFG, matcher_mode="onehot_bf16"))
+    np.testing.assert_allclose(bf_poses, g_poses, rtol=0, atol=5e-3)
+
+
 def test_bench_trajectory_replay_tracks_dense():
     # the VERDICT "done" criterion: a CPU-mesh replay of the bench trajectory
     # whose pose track equals the dense pipeline to float tolerance
