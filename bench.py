@@ -356,7 +356,7 @@ def bench_graph(angles, n_scans=512, bootstrap=12):
 
     force = jnp.arange(n_scans) < bootstrap
 
-    def run(hcfg_x):
+    def run(hcfg_x, mcfg_x=None):
         state = graph_slam.init(hcfg_x, gcfg, traj[0], int(angles.shape[0]))
 
         @jax.jit
@@ -367,7 +367,7 @@ def bench_graph(angles, n_scans=512, bootstrap=12):
                                  rr * jnp.sin(angles)], -1)
                 st, info = graph_slam.update(
                     st, Scan(pts, vv, jnp.zeros(3, jnp.float32)), hcfg_x, gcfg,
-                    map_without_matching=f)
+                    mcfg=mcfg_x, map_without_matching=f)
                 return st, st.hector.match_pose
             return jax.lax.scan(body, state, (radii, valids, force))
 
@@ -395,6 +395,13 @@ def bench_graph(angles, n_scans=512, bootstrap=12):
     modes = {"gather": run(hcfg)}
     modes["onehot_bf16"] = run(
         dataclasses.replace(hcfg, matcher_mode="onehot_bf16"))
+    # + the production loop-closure path: one-hot MXU scan-to-scan matcher,
+    # scatter-free dense local-grid build, dense hector occupancy fill
+    from slamnet_tpu.graph import frontend
+    modes["onehot_full"] = run(
+        dataclasses.replace(hcfg, matcher_mode="onehot_bf16",
+                            dense_free_fill=True),
+        frontend.ScanMatchConfig(matcher_mode="onehot_bf16", dense_fill=True))
     base = modes["gather"]
     pick = max((m for m in modes.values()
                 if m["ate_m"] <= base["ate_m"] + 1e-4),

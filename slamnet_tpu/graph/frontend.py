@@ -26,6 +26,13 @@ class ScanMatchConfig(NamedTuple):
     log_odds_free: float = -0.40546511
     log_odds_occupied: float = 2.19722458
     inlier_prob: float = 0.6    # a query point "hits" if M(p) > this
+    # production knobs (mirror HectorConfig; defaults keep the parity path):
+    # "gather" | "onehot_highest" (bit-identical, MXU) | "onehot_bf16"
+    matcher_mode: str = "gather"
+    # scatter-free dense polar fill for the local grid (the loop-closure grid
+    # build is a serialized ~B*len-cell scatter otherwise — the dominant cost
+    # of a keyframe event, docs/PERF.md)
+    dense_fill: bool = False
 
 
 class MatchQuality(NamedTuple):
@@ -47,7 +54,9 @@ def rasterize_scan(scan: Scan, cfg: ScanMatchConfig) -> jnp.ndarray:
     s = cfg.grid_size
     center = jnp.asarray([s // 2 * cfg.resolution, s // 2 * cfg.resolution, 0.0])
     grid = jnp.zeros((s * s,), jnp.float32)
-    return logodds.update_occupancy(
+    fill = (logodds.update_occupancy_dense if cfg.dense_fill
+            else logodds.update_occupancy)
+    return fill(
         grid, s, scan.points, scan.valid, center, scan.pose[:2],
         1.0 / cfg.resolution, cfg.log_odds_free, cfg.log_odds_occupied)
 
@@ -73,10 +82,24 @@ def match_scans(scan_ref: Scan, scan_qry: Scan, init_rel,
     init = jnp.asarray(init_rel, jnp.float32)
     pose_px = jnp.stack([(init[0] + center[0]) * scale,
                          (init[1] + center[1]) * scale, init[2]])
-    for _ in range(cfg.gn_iterations):
-        pose_px = gn.fused_gn_iteration(grid, 0, s, scale, pose_px,
-                                        scan_qry.points[:, 0],
-                                        scan_qry.points[:, 1], scan_qry.valid)
+    if cfg.matcher_mode.startswith("onehot"):
+        # the grid is rebuilt per keyframe event (loop-variant operand): the
+        # one-hot MXU fetch sidesteps the gather wall exactly like the Hector
+        # matcher (ops/gn.py); a [s, s] grid IS already a row table
+        # (s=128 = one lane tile)
+        table2d = grid.reshape(s, s)
+        prec = ("highest" if cfg.matcher_mode == "onehot_highest"
+                else "default")
+        for _ in range(cfg.gn_iterations):
+            pose_px = gn.fused_gn_iteration_onehot_stats(
+                table2d, 0, s, scale, pose_px, scan_qry.points[:, 0],
+                scan_qry.points[:, 1], scan_qry.valid, precision=prec)[0]
+    else:
+        for _ in range(cfg.gn_iterations):
+            pose_px = gn.fused_gn_iteration(grid, 0, s, scale, pose_px,
+                                            scan_qry.points[:, 0],
+                                            scan_qry.points[:, 1],
+                                            scan_qry.valid)
     rel = jnp.stack([pose_px[0] / scale - center[0],
                      pose_px[1] / scale - center[1],
                      normalize_angle(pose_px[2])])

@@ -195,6 +195,33 @@ def test_match_scans_recovers_relative_pose():
     assert float(qj.inlier_frac) < 0.25, float(qj.inlier_frac)
 
 
+def test_match_scans_production_modes():
+    # onehot_highest: one-hot row matmuls select grid entries exactly, so the
+    # match is BIT-identical to the gather matcher; dense_fill + onehot_bf16
+    # (the production loop-closure path) must still recover the relative pose
+    # and separate real matches from junk.
+    ref = _ring_scan((0.0, 0.0, 0.0))
+    true_rel = np.asarray([0.4, -0.3, 0.08], np.float32)
+    qry = _ring_scan(tuple(true_rel))
+
+    rel_g, qg = frontend.match_scans(ref, qry, (0.0, 0.0, 0.0),
+                                     frontend.ScanMatchConfig())
+    rel_oh, qoh = frontend.match_scans(
+        ref, qry, (0.0, 0.0, 0.0),
+        frontend.ScanMatchConfig(matcher_mode="onehot_highest"))
+    np.testing.assert_array_equal(np.asarray(rel_oh), np.asarray(rel_g))
+    np.testing.assert_array_equal(float(qoh.inlier_frac),
+                                  float(qg.inlier_frac))
+
+    prod = frontend.ScanMatchConfig(matcher_mode="onehot_bf16",
+                                    dense_fill=True)
+    rel_p, qp = frontend.match_scans(ref, qry, (0.0, 0.0, 0.0), prod)
+    err = np.asarray(rel_p) - true_rel
+    assert abs(err[0]) < 0.1 and abs(err[1]) < 0.1, rel_p
+    assert abs(err[2]) < 0.05
+    assert float(qp.inlier_frac) > 0.5, float(qp.inlier_frac)
+
+
 def test_keyframe_due_and_loop_candidates():
     assert bool(frontend.keyframe_due(jnp.zeros(3),
                                       jnp.asarray([0.6, 0.0, 0.0]), 0.5, 0.3))
