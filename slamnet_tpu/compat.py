@@ -134,15 +134,21 @@ class HectorSLAMProcessor:
                  num_depth: int = 4, num_threads: int = 4, logger=None, *,
                  min_distance_diff_for_map_update: float = 0.3,
                  min_angle_diff_for_map_update: float = 0.13,
-                 estimate_iterations: Optional[Sequence[int]] = None):
+                 estimate_iterations: Optional[Sequence[int]] = None,
+                 matcher_mode: str = "gather"):
         del num_threads  # threads dissolve into the fused kernels
         iters = tuple(estimate_iterations) if estimate_iterations \
             else tuple([3] * num_depth)
+        # matcher_mode: "gather" (reference-exact path) or
+        # "onehot_highest"/"onehot_bf16" — the production MXU matcher
+        # (docs/PERF.md); no reference counterpart, exposed for users who
+        # switch for throughput without leaving the OO surface.
         self.cfg = HectorConfig(
             map_resolution=map_resolution, map_size=map_size,
             num_levels=num_depth, estimate_iterations=iters,
             min_distance_diff_for_map_update=min_distance_diff_for_map_update,
-            min_angle_diff_for_map_update=min_angle_diff_for_map_update)
+            min_angle_diff_for_map_update=min_angle_diff_for_map_update,
+            matcher_mode=matcher_mode)
         self._start_pose = np.asarray(start_pose, np.float32)
         self.logger = logger
         self.MatchTiming = EmaTimer()

@@ -59,6 +59,23 @@ def test_compat_hector_reference_surface():
     assert proc.MatchTiming.ms > 0.0
 
 
+def test_compat_hector_matcher_mode():
+    # the production MXU matcher is reachable from the OO surface;
+    # onehot_highest tracks exactly like the default gather matcher
+    def drive(mode):
+        proc = compat.HectorSLAMProcessor(0.1, 400, (20.0, 20.0, 0.0), 3, 4,
+                                          estimate_iterations=(7, 4, 4),
+                                          matcher_mode=mode)
+        key = jax.random.PRNGKey(2)
+        for i in range(4):
+            key, sub = jax.random.split(key)
+            cloud, _ = _scan_pair(sub)
+            proc.Update(cloud, map_without_matching=(i < 2))
+        return proc.MatchPose
+
+    np.testing.assert_array_equal(drive("onehot_highest"), drive("gather"))
+
+
 def test_geometry_line_helpers():
     p = g.find_position_on_line(jnp.asarray([1.0, 1.0]),
                                 jnp.asarray([0.0, 0.0]),
