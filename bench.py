@@ -400,7 +400,7 @@ def bench_graph(angles, n_scans=512, bootstrap=12):
     from slamnet_tpu.graph import frontend
     modes["onehot_full"] = run(
         dataclasses.replace(hcfg, matcher_mode="onehot_bf16",
-                            dense_free_fill=True),
+                            dense_free_fill=True, early_exit_tol=1e-3),
         frontend.ScanMatchConfig(matcher_mode="onehot_bf16", dense_fill=True))
     base = modes["gather"]
     pick = max((m for m in modes.values()
