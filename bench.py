@@ -398,9 +398,12 @@ def bench_graph(angles, n_scans=512, bootstrap=12):
     # + the production loop-closure path: one-hot MXU scan-to-scan matcher,
     # scatter-free dense local-grid build, dense hector occupancy fill
     from slamnet_tpu.graph import frontend
+    # NOTE: early_exit_tol is deliberately NOT set here — measured 1179 vs
+    # 1227 scans/s with it (the matcher while_loop blocks unrolling inside
+    # the keyframe-cond machinery; the fleet found the same, docs/PERF.md)
     modes["onehot_full"] = run(
         dataclasses.replace(hcfg, matcher_mode="onehot_bf16",
-                            dense_free_fill=True, early_exit_tol=1e-3),
+                            dense_free_fill=True),
         frontend.ScanMatchConfig(matcher_mode="onehot_bf16", dense_fill=True))
     base = modes["gather"]
     pick = max((m for m in modes.values()
