@@ -10,15 +10,94 @@ lax.scan.  The reference sustains 17 scans/s real-time on a desktop CPU
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "scans/s", "vs_baseline": N/17}
 plus accuracy fields so a throughput win can't silently trade away tracking.
+
+Driver-contract hardening (round 4):
+  * persistent XLA compilation cache under .jax_cache/ — remote compiles
+    (5 s-6 min each on the tunneled backend) amortize across runs;
+  * bounded default mode tables — each section measures its parity baseline
+    plus the headline candidate only; SLAMNET_BENCH_ALL=1 (or the
+    scripts/bench_*.py tools) measures the full tables;
+  * wall-clock budget guard (SLAMNET_BENCH_BUDGET_S, default 1050 s): when
+    the budget nears, remaining sections/modes are skipped and the JSON line
+    is emitted with whatever was measured plus a "skipped" list;
+  * SIGTERM/SIGINT emit the partial JSON line before exiting, so an external
+    timeout can never again lose the already-measured headline.
 """
 import json
+import os
+import signal
 import sys
 import time
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_T0 = time.time()
+_BUDGET_S = float(os.environ.get("SLAMNET_BENCH_BUDGET_S", "1050"))
+_ALL_MODES = os.environ.get("SLAMNET_BENCH_ALL") == "1"
+
+# Partial-result state shared with the signal handler.
+_OUT = {
+    "metric": "hector_3level_400x400_scans_per_sec_per_chip",
+    "value": 0.0,
+    "unit": "scans/s",
+    "vs_baseline": 0.0,
+}
+_SKIPPED = []
+_EMITTED = False
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.time() - _T0)
+
+
+def _emit():
+    """Print the ONE JSON line (exactly once)."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    out = dict(_OUT)
+    if _SKIPPED:
+        out["skipped"] = list(_SKIPPED)
+    out["bench_seconds"] = round(time.time() - _T0, 1)
+    print(json.dumps(out), flush=True)
+
+
+def _on_signal(signum, frame):
+    _SKIPPED.append(f"signal:{signal.Signals(signum).name}")
+    _emit()
+    os._exit(0)
+
+
+def _section(name: str, min_secs: float, fn, *args, **kwargs) -> dict:
+    """Run one bench section under the budget guard; failures/skips are
+    recorded instead of killing the whole bench."""
+    if _remaining() < min_secs:
+        _SKIPPED.append(name)
+        return {}
+    try:
+        return fn(*args, **kwargs)
+    except Exception as e:  # a broken section must not lose the headline
+        _SKIPPED.append(name)
+        _OUT.setdefault("errors", {})[name] = f"{type(e).__name__}: {e}"
+        return {}
+
 
 def main():
-    import numpy as np
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     import jax
+    # Persistent compilation cache: the tunneled backend's remote compiles
+    # are the driver-budget killer (BENCH_r03 rc=124); cached executables
+    # bring a warm bench run down to minutes.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    import numpy as np
     import jax.numpy as jnp
 
     from slamnet_tpu.core import HectorConfig, SimConfig
@@ -119,36 +198,42 @@ def main():
 
     # production candidates — each must hold the parity-mode accuracy
     # (gate is <= parity ATE: a fast mode may NOT trade accuracy for the
-    # headline; the 1e-4 slack only absorbs float noise):
-    #   EE: converged early-exit (extra fixed iterations are numeric no-ops)
-    #   EE+dense: + scatter-free dense polygon occupancy fill
+    # headline; the 1e-4 slack only absorbs float noise).  Default table is
+    # bounded to the measured headline winner (docs/PERF.md: the one-hot bf16
+    # MXU matcher composed with the dense occupancy fill); SLAMNET_BENCH_ALL=1
+    # or scripts/bench_hector_variants.py measures the whole ladder.
+    candidates = [
+        # one-hot MXU gather (ops/gn.py) + scatter-free dense occupancy fill:
+        # the two measured wins composed (bit-accuracy ATE-gated like all modes)
+        ("onehot_bf16_dense",
+         dataclasses.replace(cfg, early_exit_tol=1e-3,
+                             matcher_mode="onehot_bf16",
+                             dense_free_fill=True)),
+    ]
+    if _ALL_MODES:
+        candidates = [
+            ("early_exit", dataclasses.replace(cfg, early_exit_tol=1e-3)),
+            ("early_exit_dense",
+             dataclasses.replace(cfg, early_exit_tol=1e-3,
+                                 dense_free_fill=True)),
+            ("early_exit_sub2",
+             dataclasses.replace(cfg, early_exit_tol=1e-3,
+                                 match_subsample=2)),
+            ("onehot",
+             dataclasses.replace(cfg, early_exit_tol=1e-3,
+                                 matcher_mode="onehot_highest")),
+            ("onehot_bf16",
+             dataclasses.replace(cfg, early_exit_tol=1e-3,
+                                 matcher_mode="onehot_bf16")),
+        ] + candidates
+
     best = t_fixed
     ate, max_err, upd_best = ate_fixed, max_fixed, upd
     resid_best, fails_best = resid_f, fails_f
-    for name, cand in (("early_exit", dataclasses.replace(cfg, early_exit_tol=1e-3)),
-                       ("early_exit_dense",
-                        dataclasses.replace(cfg, early_exit_tol=1e-3,
-                                            dense_free_fill=True)),
-                       ("early_exit_sub2",
-                        dataclasses.replace(cfg, early_exit_tol=1e-3,
-                                            match_subsample=2)),
-                       # one-hot MXU gather (ops/gn.py): sidesteps XLA's
-                       # variant-operand gather rate; "highest" is
-                       # bit-identical to the gather matcher, "bf16" rounds
-                       # the table on the MXU (both ATE-gated like all modes)
-                       ("onehot",
-                        dataclasses.replace(cfg, early_exit_tol=1e-3,
-                                            matcher_mode="onehot_highest")),
-                       ("onehot_bf16",
-                        dataclasses.replace(cfg, early_exit_tol=1e-3,
-                                            matcher_mode="onehot_bf16")),
-                       # the two wins compose: MXU matcher + scatter-free
-                       # dense occupancy fill (measured +4.6% over onehot_bf16
-                       # alone at identical ATE)
-                       ("onehot_bf16_dense",
-                        dataclasses.replace(cfg, early_exit_tol=1e-3,
-                                            matcher_mode="onehot_bf16",
-                                            dense_free_fill=True))):
+    for name, cand in candidates:
+        if _remaining() < 120:
+            _SKIPPED.append(f"hector:{name}")
+            continue
         t_c, (poses_c, upd_c, resid_c, fails_c) = measure(cand)
         ate_c, max_c = ate_of(poses_c)
         modes[name] = {"scans_per_sec": round(n_scans / t_c, 1),
@@ -158,27 +243,8 @@ def main():
             resid_best, fails_best = resid_c, fails_c
 
     scans_per_sec = n_scans / best
-
-    # CoreSLAM pipeline (secondary metric): reference-parity MC search + line
-    # rasterization vs the TPU-native production mode (deterministic
-    # correlative grid search + dense polar map fills).
-    core = bench_coreslam(radii, valids, angles, traj, n_scans, bootstrap)
-
-    # Fleet serving (secondary metric): B batched instances on one chip,
-    # phase-shifted slices of the same scan log (models/fleet.py).
-    flt = bench_fleet(radii, valids, angles, traj, scans_per_sec)
-
-    # Batched particle SLAM (BASELINE config 4): 8192 particles, full field.
-    part = bench_particle(radii, valids, angles, traj, n_scans, bootstrap)
-
-    # Graph-SLAM (north-star composition): keyframes + loop closures +
-    # pose-graph optimization over a revisit trajectory.
-    grph = bench_graph(angles)
-
-    print(json.dumps({
-        "metric": "hector_3level_400x400_scans_per_sec_per_chip",
+    _OUT.update({
         "value": round(scans_per_sec, 1),
-        "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / 17.0, 2),
         "fixed_iter_scans_per_sec": round(n_scans / t_fixed, 1),
         "ate_m": round(ate, 4),
@@ -189,11 +255,28 @@ def main():
         "hector_modes": modes,
         "n_scans": n_scans,
         "device": str(jax.devices()[0]),
-        **core,
-        **flt,
-        **part,
-        **grph,
-    }))
+    })
+
+    # CoreSLAM pipeline (secondary metric): reference-parity MC search + line
+    # rasterization vs the TPU-native production mode (deterministic
+    # correlative grid search + dense polar map fills).
+    _OUT.update(_section("coreslam", 90, bench_coreslam,
+                         radii, valids, angles, traj, n_scans, bootstrap))
+
+    # Graph-SLAM (north-star composition): keyframes + loop closures +
+    # pose-graph optimization over a turning revisit trajectory.
+    _OUT.update(_section("graph", 150, bench_graph, angles))
+
+    # Fleet serving (secondary metric): B batched instances on one chip,
+    # phase-shifted slices of the same scan log (models/fleet.py).
+    _OUT.update(_section("fleet", 150, bench_fleet,
+                         radii, valids, angles, traj, scans_per_sec))
+
+    # Batched particle SLAM (BASELINE config 4): 8192 particles, full field.
+    _OUT.update(_section("particle", 150, bench_particle,
+                         radii, valids, angles, traj, n_scans, bootstrap))
+
+    _emit()
     return 0
 
 
@@ -257,23 +340,36 @@ def bench_fleet(radii, valids, angles, traj, single_rate):
         return (T * B / best, float(np.sqrt((pe ** 2).mean())),
                 float(pe.max()), float(np.median(inst_ate)))
 
-    modes = {}
-    for name, cfg in (
-            ("sub1", base),
-            ("sub4", dataclasses.replace(base, match_subsample=4)),
-            ("sub4_onehot", dataclasses.replace(
-                base, match_subsample=4, matcher_mode="onehot_bf16")),
-            # the round-2 throughput point: a deferring update budget buys
-            # ~25% throughput at ~25x the median-instance ATE (the dominant
-            # fleet accuracy cost, docs/PERF.md round-3) — kept as the
-            # measured trade, excluded from the headline by the gate
+    # bounded default: the accuracy-bound anchor (sub1) + the measured
+    # headline mode; SLAMNET_BENCH_ALL=1 / scripts/bench_fleet_capacity.py
+    # adds the capped-budget trade rows
+    mode_cfgs = [
+        ("sub1", base),
+        ("sub4_onehot", dataclasses.replace(
+            base, match_subsample=4, matcher_mode="onehot_bf16")),
+    ]
+    if _ALL_MODES:
+        mode_cfgs[1:1] = [
+            ("sub4", dataclasses.replace(base, match_subsample=4))]
+        # the round-2 throughput point: a deferring update budget buys
+        # ~25% throughput at ~25x the median-instance ATE (the dominant
+        # fleet accuracy cost, docs/PERF.md round-3) — kept as the
+        # measured trade, excluded from the headline by the gate
+        mode_cfgs += [
             ("sub4_onehot_cap8", dataclasses.replace(
                 base, match_subsample=4, matcher_mode="onehot_bf16",
                 fleet_update_capacity=8)),
             ("sub4_onehot_cap32", dataclasses.replace(
                 base, match_subsample=4, matcher_mode="onehot_bf16",
-                fleet_update_capacity=32))):
+                fleet_update_capacity=32))]
+
+    modes, raw = {}, {}
+    for name, cfg in mode_cfgs:
+        if name != "sub1" and _remaining() < 120:
+            _SKIPPED.append(f"fleet:{name}")
+            continue
         rate, ate, mx, med = run(cfg)
+        raw[name] = (rate, ate)
         # ate_m is RMS over ALL instance-scans — dominated by the two
         # degenerate bootstrap slices (docs/PERF.md robustness note);
         # ate_median_m is the typical instance (reference-grade tracking)
@@ -281,15 +377,14 @@ def bench_fleet(radii, valids, angles, traj, single_rate):
                        "ate_m": round(ate, 4), "max_err_m": round(mx, 3),
                        "ate_median_m": round(med, 4)}
 
-    # accuracy gate: fastest mode within 2x the no-subsample ATE
-    bound = 2.0 * modes["sub1"]["ate_m"]
-    eligible = [(m["instance_scans_per_sec"], name)
-                for name, m in modes.items() if m["ate_m"] <= bound]
+    # accuracy gate: fastest mode within 2x the no-subsample ATE (unrounded)
+    bound = 2.0 * raw["sub1"][1]
+    eligible = [(r[0], name) for name, r in raw.items() if r[1] <= bound]
     rate, headline = max(eligible)
     return {
         "fleet_batch": B,
         "fleet_mode": headline,
-        "fleet_instance_scans_per_sec": rate,
+        "fleet_instance_scans_per_sec": round(rate, 1),
         "fleet_vs_single_instance": round(rate / single_rate, 2),
         "fleet_ate_m": modes[headline]["ate_m"],
         "fleet_ate_median_m": modes[headline]["ate_median_m"],
@@ -302,9 +397,11 @@ def bench_fleet(radii, valids, angles, traj, single_rate):
 def bench_graph(angles, n_scans=512, bootstrap=12):
     """Graph-SLAM (north-star composition) throughput: hector matching +
     keyframe gate + loop-closure matching + pose-graph optimization
-    (models/graph_slam.py) over a 512-scan revisit trajectory — forward/back
-    passes so loop closures actually fire (the bench loop path never
-    re-approaches an old keyframe within the closure radius)."""
+    (models/graph_slam.py) over a 512-scan TURNING revisit trajectory — a
+    rectangular loop driven forward twice (four 90-degree heading changes per
+    loop), revisiting the start corner so loop closures fire under rotation
+    (VERDICT r03: a straight-line revisit cannot catch frame-convention bugs
+    in the loop-edge theta terms)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -313,6 +410,7 @@ def bench_graph(angles, n_scans=512, bootstrap=12):
     from slamnet_tpu.core.scan import Scan
     from slamnet_tpu.models import graph_slam
     from slamnet_tpu.sim import default_field, lidar
+    from slamnet_tpu.sim.trajectory import rect_revisit_trajectory
 
     import dataclasses
 
@@ -320,15 +418,14 @@ def bench_graph(angles, n_scans=512, bootstrap=12):
     hcfg = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4))
     gcfg = PoseGraphConfig()
 
-    # revisit trajectory: still warmup, then forward/back passes along +x
-    legs = n_scans - bootstrap
-    leg = legs // 4
-    fwd = np.stack([np.linspace(20.0, 24.0, leg), np.full(leg, 20.0),
-                    np.zeros(leg)], -1).astype(np.float32)
-    back = fwd[::-1].copy()
-    still = np.tile(np.asarray([20.0, 20.0, 0.0], np.float32),
-                    (n_scans - 4 * leg, 1))
-    traj = np.concatenate([still, fwd, back, fwd, back])
+    # turning revisit trajectory: still warmup, then two forward laps of a
+    # 4x3 m rectangle (heading follows the path; corners turn at ~3.5
+    # deg/scan, inside the ~20 deg/scan envelope)
+    drive = rect_revisit_trajectory(num_loops=2)
+    take = n_scans - bootstrap
+    assert drive.shape[0] >= take, (drive.shape, take)
+    still = np.tile(np.asarray([20.0, 20.0, 0.0], np.float32), (bootstrap, 1))
+    traj = np.concatenate([still, drive[:take]])
 
     cpu = jax.devices("cpu")[0]
     fld = default_field()
@@ -382,8 +479,10 @@ def bench_graph(angles, n_scans=512, bootstrap=12):
 
         err = np.asarray(poses)[bootstrap:] - traj[bootstrap:]
         pe = np.linalg.norm(err[:, :2], axis=1)
+        ate = float(np.sqrt((pe ** 2).mean()))
         return {"scans_per_sec": round(n_scans / best, 1),
-                "ate_m": round(float(np.sqrt((pe ** 2).mean())), 4),
+                "ate_m": round(ate, 4),
+                "_ate_raw": ate,
                 "max_err_m": round(float(pe.max()), 4),
                 "keyframes": int(np.asarray(stf.graph.num_nodes)),
                 "loop_closures": int(np.asarray(stf.loop_count))}
@@ -393,22 +492,31 @@ def bench_graph(angles, n_scans=512, bootstrap=12):
     # hector_modes gate — a faster matcher may not trade tracking or drop the
     # loop closures that give graph-SLAM its accuracy).
     modes = {"gather": run(hcfg)}
-    modes["onehot_bf16"] = run(
-        dataclasses.replace(hcfg, matcher_mode="onehot_bf16"))
+    if _ALL_MODES:
+        modes["onehot_bf16"] = run(
+            dataclasses.replace(hcfg, matcher_mode="onehot_bf16"))
     # + the production loop-closure path: one-hot MXU scan-to-scan matcher,
     # scatter-free dense local-grid build, dense hector occupancy fill
     from slamnet_tpu.graph import frontend
     # NOTE: early_exit_tol is deliberately NOT set here — measured 1179 vs
     # 1227 scans/s with it (the matcher while_loop blocks unrolling inside
     # the keyframe-cond machinery; the fleet found the same, docs/PERF.md)
-    modes["onehot_full"] = run(
-        dataclasses.replace(hcfg, matcher_mode="onehot_bf16",
-                            dense_free_fill=True),
-        frontend.ScanMatchConfig(matcher_mode="onehot_bf16", dense_fill=True))
+    if _remaining() > 120:
+        modes["onehot_full"] = run(
+            dataclasses.replace(hcfg, matcher_mode="onehot_bf16",
+                                dense_free_fill=True),
+            frontend.ScanMatchConfig(matcher_mode="onehot_bf16",
+                                     dense_fill=True))
+    else:
+        _SKIPPED.append("graph:onehot_full")
     base = modes["gather"]
+    # gate on the UNROUNDED ATE (mirrors the hector gate; 1e-4 absorbs only
+    # float noise, not a rounding quantum)
     pick = max((m for m in modes.values()
-                if m["ate_m"] <= base["ate_m"] + 1e-4),
+                if m["_ate_raw"] <= base["_ate_raw"] + 1e-4),
                key=lambda m: m["scans_per_sec"])
+    for m in modes.values():
+        del m["_ate_raw"]
     return {
         "graph_scans_per_sec": pick["scans_per_sec"],
         "graph_ate_m": pick["ate_m"],
@@ -420,7 +528,7 @@ def bench_graph(angles, n_scans=512, bootstrap=12):
 
 
 def bench_particle(radii, valids, angles, traj, n_scans, bootstrap,
-                   all_modes=False):
+                   all_modes=None):
     """BASELINE config 4: 8k-particle vmapped scoring + top-k refine on one
     chip, full 40x40m field run (models/particle.py)."""
     import numpy as np
@@ -433,6 +541,8 @@ def bench_particle(radii, valids, angles, traj, n_scans, bootstrap,
 
     import dataclasses
 
+    if all_modes is None:
+        all_modes = _ALL_MODES
     ccfg = CoreSlamConfig()
     base = ParticleConfig()                      # 8192 particles, top-64
 
@@ -486,12 +596,15 @@ def bench_particle(radii, valids, angles, traj, n_scans, bootstrap,
                                            dense_obstacle_fill=True)),
     }
     if not all_modes:
-        # keep the driver bench bounded: exact (the config-4 contract), the
-        # headline candidate, and the full-budget grid for the gate context;
+        # keep the driver bench bounded: exact (the config-4 contract, also
+        # the accuracy-gate anchor) + the headline candidate;
         # scripts/bench_particle.py --all measures the whole table
-        modes = {n: modes[n] for n in ("exact", "grid", "grid_dense")}
+        modes = {n: modes[n] for n in ("exact", "grid_dense")}
     table, results = {}, {}
     for name, (pcfg, ccfg_m) in modes.items():
+        if name != "exact" and _remaining() < 120:
+            _SKIPPED.append(f"particle:{name}")
+            continue
         rate, ate, mx = run_mode_with(pcfg, ccfg_m)
         results[name] = (rate, ate, mx)
         table[name] = {"scans_per_sec": round(rate, 1), "ate_m": round(ate, 4),

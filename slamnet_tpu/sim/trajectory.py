@@ -69,6 +69,23 @@ def straight_trajectory(start=(20.0, 20.0, 0.0), speed: float = 0.25,
     return np.stack([x, y, np.full_like(x, start[2])], axis=-1).astype(np.float32)
 
 
+def rect_revisit_trajectory(num_loops: int = 2, speed: float = 0.95,
+                            scan_rate: float = 17.0,
+                            rect=((20.0, 20.0), (24.0, 20.0),
+                                  (24.0, 23.0), (20.0, 23.0))) -> np.ndarray:
+    """Rectangular loop driven forward ``num_loops`` times — the graph-SLAM
+    revisit benchmark trajectory.
+
+    Unlike a straight out-and-back sweep this exercises HEADING CHANGES
+    (four 90-degree turns per loop, spread over several scans by the
+    waypoint follower's turn-rate limit) while still revisiting the start
+    corner each loop so loop closures fire.  The rectangle sits in the free
+    space east of the default field's inner obstacle (x > 17)."""
+    pts = list(rect)
+    waypoints = np.asarray(pts * num_loops + [pts[0]], np.float32)
+    return waypoint_trajectory(waypoints, speed, scan_rate)
+
+
 def spin_trajectory(pose=(20.0, 20.0, 0.0), turn_rate: float = math.radians(40.0),
                     scan_rate: float = 17.0, num_scans: int = 150) -> np.ndarray:
     """Rotate in place at turn_rate rad/s (inside the ~20 deg/scan envelope)."""
