@@ -88,11 +88,11 @@ def _match_batch(flat, cells, points, valid, hints, cfg: HectorConfig):
     n_in = jnp.zeros(b, jnp.float32)
     onehot = cfg.matcher_mode.startswith("onehot")
     if onehot:
-        # one row-padded [B, R, lanes] view per batch-scan; iterations then
-        # run batched one-hot matmuls on the MXU instead of the rate-limited
-        # batched-operand gather (ops/gn.fused_gn_iteration_batch_onehot)
-        table3d = gn.build_row_table_batch(flat, b, cfg)
-        row_offs, _ = gn.row_table_offsets(cfg)
+        # per-level lane-padded [B, w_l, lanes_l] views per batch-scan;
+        # iterations then run batched one-hot matmuls on the MXU instead of
+        # the rate-limited batched-operand gather
+        # (ops/gn.fused_gn_iteration_batch_onehot)
+        tables3d = gn.build_row_tables_batch(flat, b, cfg)
         prec = "highest" if cfg.matcher_mode == "onehot_highest" else "bf16"
     for level in range(cfg.num_levels - 1, -1, -1):
         width = cfg.level_sizes[level]
@@ -106,7 +106,7 @@ def _match_batch(flat, cells, points, valid, hints, cfg: HectorConfig):
         if onehot:
             def one_iter(p, level=level):
                 return gn.fused_gn_iteration_batch_onehot(
-                    table3d, row_offs[level], width, scale, p, X, Y, V,
+                    tables3d[level], 0, width, scale, p, X, Y, V,
                     cfg.deriv_clamp, cfg.xy_step_clamp_px, cfg.gn_damping,
                     precision=prec)
         else:

@@ -19,6 +19,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.config import HectorConfig
 from ..core.geometry import deg_diff, normalize_angle, rad_diff
@@ -39,9 +40,12 @@ class HectorInfo(NamedTuple):
     map_updated: jnp.ndarray        # bool
     # matcher health (ScanMatcher.cs:99-115 logs solve failures; surfaced here
     # as counters/values instead of log lines — SURVEY.md §5.5):
-    residual: jnp.ndarray = jnp.float32(0.0)       # mean (1-M(p))^2 at final GN eval
-    gn_iterations: jnp.ndarray = jnp.int32(0)      # GN iterations executed
-    solve_failures: jnp.ndarray = jnp.int32(0)     # iterations with singular H
+    # numpy (not jnp) defaults: a device scalar at class-definition time
+    # would initialize the XLA backend at import, breaking
+    # jax.distributed.initialize in multi-process runs
+    residual: jnp.ndarray = np.float32(0.0)        # mean (1-M(p))^2 at final GN eval
+    gn_iterations: jnp.ndarray = np.int32(0)       # GN iterations executed
+    solve_failures: jnp.ndarray = np.int32(0)      # iterations with singular H
 
 
 class MatchStats(NamedTuple):
@@ -165,10 +169,10 @@ def match_with_stats(state_maps: jnp.ndarray, scan: Scan,
     n_in = jnp.float32(0.0)
     onehot = cfg.matcher_mode.startswith("onehot")
     if onehot:
-        # one ~1.4 MB row-padded view per match; GN iterations then run on
-        # the MXU instead of XLA's variant-operand gather (ops/gn.py)
-        table2d = gn.build_row_table(table, cfg)
-        row_offs, _ = gn.row_table_offsets(cfg)
+        # per-level lane-padded views, built once per match; GN iterations
+        # then run on the MXU instead of XLA's variant-operand gather
+        # (ops/gn.py) — each level pays only its own [w_l, lanes_l] matmul
+        tables = gn.build_row_tables(table, cfg)
         prec = "highest" if cfg.matcher_mode == "onehot_highest" else "bf16"
     for level in range(cfg.num_levels - 1, -1, -1):
         width = cfg.level_sizes[level]
@@ -180,7 +184,7 @@ def match_with_stats(state_maps: jnp.ndarray, scan: Scan,
         if onehot:
             def one_iter(p, level=level):
                 return gn.fused_gn_iteration_onehot_stats(
-                    table2d, row_offs[level], width, scale, p, X, Y, valid,
+                    tables[level], 0, width, scale, p, X, Y, valid,
                     cfg.deriv_clamp, cfg.xy_step_clamp_px, cfg.gn_damping,
                     precision=prec)
         else:

@@ -209,8 +209,14 @@ def _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
 # ~540 us per 15-iteration match at bench scale (scripts/bench_pallas_gn.py),
 # 30x the hoisted-operand cost.  This variant replaces the chained gather with
 # two one-hot ROW matmuls per iteration on the MXU (rows yi and yi+1 of a
-# per-level row-padded table view built once per match) plus a lane-select:
+# per-level lane-padded table view built once per match) plus a lane-select:
 # the FLOPs are trivial for the MXU and nothing depends on the gather rate.
+#
+# The row tables are PER LEVEL (round 4): a single stacked all-levels table
+# made every GN iteration pay [2N, 700] x [700, 512] regardless of level —
+# ~28x wasted MXU FLOPs at the 100-px level (VERDICT r03 weak #3).  The
+# pyramid loop unrolls at trace time, so each level multiplies against its
+# own [w_l, lanes_l] table (lanes_l = w_l rounded up to 128 lanes) instead.
 #
 # Exactness: a one-hot row selects a single table entry (1.0*x plus exact
 # zeros), so with full-precision matmuls the selected neighbor values — and
@@ -220,30 +226,21 @@ def _fused_gn_core(table, offset, width, scale, pose_px, X, Y, valid,
 # bench.py before it can become the headline).
 # ---------------------------------------------------------------------------
 
-def row_table_lanes(cfg) -> int:
-    return max(128, -(-max(cfg.level_sizes) // 128) * 128)
+def level_lanes(width: int) -> int:
+    """Lane-tile-aligned table width for one pyramid level."""
+    return max(128, -(-width // 128) * 128)
 
 
-def row_table_offsets(cfg) -> Tuple[Tuple[int, ...], int]:
-    """Per-level starting ROW inside the stacked row table, and total rows."""
-    offs, r = [], 0
-    for s in cfg.level_sizes:
-        offs.append(r)
-        r += s
-    return tuple(offs), r
-
-
-def build_row_table(table: jnp.ndarray, cfg) -> jnp.ndarray:
-    """Stack every pyramid level's rows, lane-padded, into f32[R, lanes].
-    One ~1.4 MB copy per match call, loop-invariant across GN iterations."""
-    lanes = row_table_lanes(cfg)
+def build_row_tables(table: jnp.ndarray, cfg) -> Tuple[jnp.ndarray, ...]:
+    """Per-level lane-padded row tables: level l -> f32[w_l, lanes_l].
+    Built once per match call, loop-invariant across GN iterations."""
     parts = []
     for level in range(cfg.num_levels):
         w = cfg.level_sizes[level]
         off = cfg.level_offsets[level]
         g = table[off:off + w * w].reshape(w, w)
-        parts.append(jnp.pad(g, ((0, 0), (0, lanes - w))))
-    return jnp.concatenate(parts, axis=0)
+        parts.append(jnp.pad(g, ((0, 0), (0, level_lanes(w) - w))))
+    return tuple(parts)
 
 
 def fused_gn_iteration_onehot_stats(table2d: jnp.ndarray, row_off: int,
@@ -254,7 +251,8 @@ def fused_gn_iteration_onehot_stats(table2d: jnp.ndarray, row_off: int,
                                     precision: str = "highest"):
     """fused_gn_iteration_stats with the gather as one-hot MXU matmuls.
 
-    table2d: build_row_table output; row_off: this level's first row."""
+    table2d: ONE level's row table (build_row_tables output; row_off=0), or
+    any [R, lanes] view with this level's rows starting at row_off."""
     sr, cr, mx, my, ok, xi, yi = _gn_coords(width, scale, pose_px, X, Y, valid)
     n = X.shape[0]
     total_rows = table2d.shape[0]
@@ -357,9 +355,10 @@ def fused_gn_iteration_batch(flat: jnp.ndarray, cells: int, offset: int,
     return new_poses, solve_ok, red[9], red[10]
 
 
-def build_row_table_batch(flat: jnp.ndarray, b: int, cfg) -> jnp.ndarray:
-    """Fleet twin of build_row_table: flat f32[B*cells] -> f32[B, R, lanes]."""
-    lanes = row_table_lanes(cfg)
+def build_row_tables_batch(flat: jnp.ndarray, b: int,
+                           cfg) -> Tuple[jnp.ndarray, ...]:
+    """Fleet twin of build_row_tables: flat f32[B*cells] -> per-level
+    f32[B, w_l, lanes_l] tables."""
     cells = sum(w * w for w in cfg.level_sizes)
     grids = flat.reshape(b, cells)
     parts = []
@@ -367,8 +366,8 @@ def build_row_table_batch(flat: jnp.ndarray, b: int, cfg) -> jnp.ndarray:
         w = cfg.level_sizes[level]
         off = cfg.level_offsets[level]
         g = grids[:, off:off + w * w].reshape(b, w, w)
-        parts.append(jnp.pad(g, ((0, 0), (0, 0), (0, lanes - w))))
-    return jnp.concatenate(parts, axis=1)
+        parts.append(jnp.pad(g, ((0, 0), (0, 0), (0, level_lanes(w) - w))))
+    return tuple(parts)
 
 
 def fused_gn_iteration_batch_onehot(table3d: jnp.ndarray, row_off: int,
@@ -380,7 +379,8 @@ def fused_gn_iteration_batch_onehot(table3d: jnp.ndarray, row_off: int,
                                     precision: str = "bf16"):
     """fused_gn_iteration_batch with the gather as batched one-hot matmuls.
 
-    table3d: build_row_table_batch output f32[B, R, lanes].  The batched
+    table3d: ONE level's build_row_tables_batch output f32[B, w_l, lanes_l]
+    (row_off=0), or any [B, R, lanes] view.  The batched
     (per-instance) matmul keeps the MXU busy where the batched-operand gather
     is rate-limited (~130M elem/s, docs/PERF.md) — the fleet-matcher version
     of the single-instance one-hot trick."""
