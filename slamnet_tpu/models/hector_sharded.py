@@ -87,11 +87,13 @@ def _beam_pad(n: int, n_search: int) -> int:
 
 # ------------------------------ shard/unshard -------------------------------
 
-def shard_state(mesh: Mesh, dense: hector.HectorState, cfg: HectorConfig,
-                tile_axis: str = "tile") -> ShardedHectorState:
-    """Split a dense HectorState's concatenated pyramid into per-tile local
-    tables (owned rows + halo per level) sharded over `tile_axis`."""
-    n_tiles = mesh.shape[tile_axis]
+def shard_tiles_host(dense_maps, cfg: HectorConfig, n_tiles: int):
+    """Tile a dense concatenated pyramid into per-tile local tables (owned
+    rows + halo per level) — works on numpy or jnp arrays, no device ops.
+    Also the host-side oracle for what each mesh tile must hold (used by the
+    true multi-process test, tests/_multiproc_worker.py)."""
+    dense_maps = jnp.asarray(dense_maps)
+    np_ = jnp
     lrows = level_rows(cfg, n_tiles)
     tiles = []
     for t in range(n_tiles):
@@ -99,17 +101,25 @@ def shard_state(mesh: Mesh, dense: hector.HectorState, cfg: HectorConfig,
         for level in range(cfg.num_levels):
             s = cfg.level_sizes[level]
             rows = lrows[level]
-            grid = dense.maps[cfg.level_offsets[level]:
+            grid = dense_maps[cfg.level_offsets[level]:
                               cfg.level_offsets[level] + s * s].reshape(s, s)
             owned = grid[t * rows:(t + 1) * rows]
             if owned.shape[0] < rows:     # last tile(s): pad beyond the grid
-                owned = jnp.concatenate(
-                    [owned, jnp.zeros((rows - owned.shape[0], s), grid.dtype)])
+                owned = np_.concatenate(
+                    [owned, np_.zeros((rows - owned.shape[0], s), grid.dtype)])
             halo = (grid[(t + 1) * rows] if (t + 1) * rows < s
-                    else jnp.zeros(s, grid.dtype))
-            parts.append(jnp.concatenate([owned, halo[None]]).reshape(-1))
-        tiles.append(jnp.concatenate(parts))
-    local = jax.device_put(jnp.stack(tiles),
+                    else np_.zeros(s, grid.dtype))
+            parts.append(np_.concatenate([owned, halo[None]]).reshape(-1))
+        tiles.append(np_.concatenate(parts))
+    return np_.stack(tiles)
+
+
+def shard_state(mesh: Mesh, dense: hector.HectorState, cfg: HectorConfig,
+                tile_axis: str = "tile") -> ShardedHectorState:
+    """Split a dense HectorState's concatenated pyramid into per-tile local
+    tables (owned rows + halo per level) sharded over `tile_axis`."""
+    n_tiles = mesh.shape[tile_axis]
+    local = jax.device_put(shard_tiles_host(dense.maps, cfg, n_tiles),
                            NamedSharding(mesh, P(tile_axis)))
     rep = NamedSharding(mesh, P())
     return ShardedHectorState(

@@ -32,10 +32,14 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.geometry import csharp_trunc
 
-INT32_MAX = jnp.int32(2**31 - 1)
+# numpy scalar, NOT jnp: a module-level device array would initialize
+# the XLA backend at import time, breaking jax.distributed.initialize
+# in multi-process runs (tests/_multiproc_worker.py)
+INT32_MAX = np.int32(2**31 - 1)
 
 
 def correlative_scores(hole_map_flat: jnp.ndarray, size: int, scale: float,
