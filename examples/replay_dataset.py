@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--map-size-m", type=float, default=40.0)
     ap.add_argument("--platform", default=None,
                     help="cpu to force the CPU backend")
+    ap.add_argument("--robust", action="store_true",
+                    help="enable the production robustness guards "
+                         "(xy step clamp, match-jump reject, GN damping) — "
+                         "recommended for degraded logs with odometry slips "
+                         "(examples/data/adversarial_180.clf)")
     args = ap.parse_args()
 
     if args.platform:
@@ -65,6 +70,11 @@ def main():
     hcfg = dataclasses.replace(
         HectorConfig(), num_levels=3, estimate_iterations=(7, 4, 4),
         map_resolution=args.map_size_m / 400.0)
+    if args.robust:
+        # measured on adversarial_180.clf: rms/max ATE 0.112/2.050 without
+        # guards -> 0.034/0.234 with (docs/PERF.md dataset section)
+        hcfg = dataclasses.replace(hcfg, xy_step_clamp_px=10.0,
+                                   max_match_jump=1.0, gn_damping=0.1)
 
     cstate = coreslam.init(ccfg, odo[0])
     hstate = hector.init(hcfg, odo[0])
@@ -79,10 +89,16 @@ def main():
         return hector.update(st, Scan(p, v, jnp.zeros(3, jnp.float32)), hint,
                              hcfg, map_without_matching=force)
 
+    truth = None
+    if log.truth is not None:
+        truth = log.truth.copy()
+        truth[:, :2] -= offset[None, :]
+
     os.makedirs(args.out_dir, exist_ok=True)
     track_path = os.path.join(args.out_dir, "track.jsonl")
     t0 = time.time()
     prev_odo = odo[0]
+    ctrack, htrack = [], []
     with open(track_path, "w") as tf:
         for t in range(T):
             p = jnp.asarray(pts_all[t])
@@ -98,6 +114,8 @@ def main():
                 hstate = hstate._replace(
                     match_pose=jnp.asarray(odo[t], jnp.float32))
             prev_odo = odo[t]
+            ctrack.append(np.asarray(cstate.pose))
+            htrack.append(np.asarray(hstate.match_pose))
             tf.write(json.dumps({
                 "t": t, "odom": [round(float(x), 4) for x in odo[t]],
                 "coreslam": [round(float(x), 4) for x in np.asarray(cstate.pose)],
@@ -127,6 +145,18 @@ def main():
         np.asarray(hstate.match_pose)[:2] - odo[-1][:2]))
     print(f"{T} scans x {N} beams in {dt:.1f}s ({T / dt:.1f} scans/s)")
     print(f"final vs odometry: coreslam {cdrift:.3f} m, hector {hdrift:.3f} m")
+    if truth is not None:
+        # the log embeds ground truth ("# TRUTH" lines): report real ATE
+        def ate(track):
+            pe = np.linalg.norm(np.asarray(track)[:, :2] - truth[:, :2],
+                                axis=1)
+            return float(np.sqrt((pe ** 2).mean())), float(pe.max())
+        oate, omax = ate(odo)
+        cate, cmax = ate(ctrack)
+        hate, hmax = ate(htrack)
+        print(f"ATE vs truth (rms/max m): odometry-only {oate:.3f}/{omax:.3f}"
+              f"  coreslam {cate:.3f}/{cmax:.3f}"
+              f"  hector {hate:.3f}/{hmax:.3f}")
     print(f"track: {track_path}")
     print(f"maps:  {hole_png}  {occ_png}")
 

