@@ -251,6 +251,18 @@ class PoseGraphConfig(_Overlayable):
     keyframe_angle: float = 0.35        # radians between keyframes
     loop_closure_radius: float = 2.0    # candidate search radius, meters
     gn_iterations: int = 10
+    # per-KEYFRAME-event GN iterations of the incremental pose-graph
+    # optimizer (models/graph_slam._spawn_keyframe): each iteration is one
+    # dense active-block solve.  The trajectory changes little between
+    # keyframes, so the incremental solve converges in 1 iteration unless a
+    # loop closure just landed (measured on the 512-scan turning revisit
+    # bench: 1/3 vs 3/3 gives IDENTICAL ATE/keyframes/closures at +16%
+    # throughput, scripts/profile_graph.py, docs/PERF.md round 4).
+    optimize_iterations: int = 1
+    # GN iterations when this keyframe ACCEPTED a loop closure (the graph
+    # residual jumps, so the solve needs the extra iterations); only used
+    # when != optimize_iterations.
+    optimize_iterations_loop: int = 3
     damping: float = 1e-6
     # loop-closure acceptance (rejects aliased/false candidates): the matcher
     # must stay near its initialization AND land its points on occupied cells

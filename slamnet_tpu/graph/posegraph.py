@@ -161,13 +161,20 @@ def robust_scale(r: jnp.ndarray, w: jnp.ndarray, delta: float,
 
 def build_normal_equations(g: PoseGraph, anchor_weight: float = 1e6,
                            damping: float = 1e-6, huber_delta: float = 0.0,
-                           robust_kernel: str = "dcs"):
+                           robust_kernel: str = "dcs",
+                           active_k: int | None = None):
     """Dense (H [3K,3K], b [3K]) from all valid edges + node-0 gauge prior.
 
     huber_delta > 0 enables robust IRLS weighting with `robust_kernel`
     ('dcs' default, or 'huber'): an edge whose whitened residual exceeds the
-    scale loses influence instead of bending the whole trajectory."""
-    k = g.poses.shape[0]
+    scale loses influence instead of bending the whole trajectory.
+
+    active_k (static) assembles H/b at [3*active_k, 3*active_k] instead of
+    full capacity — valid when num_nodes <= active_k (nodes are allocated in
+    order, valid edges only reference valid nodes, invalid edge slots carry
+    zero weight and index 0).  The assembly's zeros-init + block scatters
+    scale with the STATIC size, so gn_step buckets it (docs/PERF.md round 4)."""
+    k = g.poses.shape[0] if active_k is None else active_k
     r, ji, jj = edge_residuals_and_jacobians(g.poses, g.edge_i, g.edge_j,
                                              g.edge_meas, g.edge_valid)
     w = g.edge_w * g.edge_valid[:, None]            # [E, 3]
@@ -198,18 +205,62 @@ def build_normal_equations(g: PoseGraph, anchor_weight: float = 1e6,
     # gauge prior on node 0 + LM damping; invalid nodes get identity rows
     diag = jnp.ones(3 * k, jnp.float32) * damping
     diag = diag.at[:3].add(anchor_weight)
-    invalid = jnp.repeat(~g.node_valid, 3)
+    invalid = jnp.repeat(~g.node_valid[:k], 3)
     diag = jnp.where(invalid, 1.0, diag)
     H = H + jnp.diag(diag)
     return H, b
+
+
+def _size_buckets(k: int) -> list:
+    buckets, n = [], 32
+    while n < k:
+        buckets.append(n)
+        n *= 2
+    buckets.append(k)
+    return buckets
+
+
+def _active_gn_dx(g: PoseGraph, anchor_weight: float, damping: float,
+                  huber_delta: float) -> jnp.ndarray:
+    """dx [3K] of one GN step, paying only for the ACTIVE node prefix.
+
+    Nodes are allocated in order, edges only couple valid nodes, and invalid
+    rows carry an identity diagonal with zero b — so H is block-diagonal
+    between the active prefix and the rest, and building + solving the
+    top-left block alone is EXACT (the full solve's trailing dx is zero).
+    Both costs scale with the STATIC capacity: the dense LU is
+    panel-serialized on TPU, and the assembly's zeros-init + block scatters
+    touch [3K, 3K] memory (measured: the dominant graph-SLAM keyframe cost,
+    docs/PERF.md round 4).  A lax.switch over power-of-two bucket sizes makes
+    both pay for the graph that actually exists; num_nodes is traced,
+    buckets are static."""
+    k = g.poses.shape[0]
+    buckets = _size_buckets(k)
+
+    def branch(n):
+        def f(_):
+            H, b = build_normal_equations(g, anchor_weight, damping,
+                                          huber_delta, active_k=n)
+            dx = jnp.linalg.solve(H, -b)
+            if n == k:
+                return dx
+            return jnp.concatenate([dx, jnp.zeros(3 * (k - n), dx.dtype)])
+        return f
+
+    if len(buckets) == 1:
+        return branch(k)(None)
+    # index of the smallest bucket >= num_nodes
+    idx = jnp.int32(0)
+    for n in buckets[:-1]:
+        idx = idx + (jnp.asarray(g.num_nodes) > n).astype(jnp.int32)
+    return jax.lax.switch(idx, [branch(n) for n in buckets], None)
 
 
 def gn_step(g: PoseGraph, anchor_weight: float = 1e6,
             damping: float = 1e-6, huber_delta: float = 0.0) -> PoseGraph:
     """One Gauss-Newton step: solve H dx = -b, apply, re-wrap headings."""
     k = g.poses.shape[0]
-    H, b = build_normal_equations(g, anchor_weight, damping, huber_delta)
-    dx = jnp.linalg.solve(H, -b).reshape(k, 3)
+    dx = _active_gn_dx(g, anchor_weight, damping, huber_delta).reshape(k, 3)
     dx = jnp.where(g.node_valid[:, None], dx, 0.0)
     poses = g.poses + dx
     poses = poses.at[:, 2].set(normalize_angle(poses[:, 2]))

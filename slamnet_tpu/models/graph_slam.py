@@ -112,9 +112,23 @@ def _spawn_keyframe(state: GraphSlamState, scan: Scan, pose,
 
     g, looped = jax.lax.cond(has_cand, close_loop, no_loop, g)
 
-    # optimize after every keyframe (dense MXU solve; cheap at K<=256)
-    g = posegraph.optimize(g, iterations=3, anchor_weight=1e6,
-                           huber_delta=gcfg.huber_delta)
+    # optimize after every keyframe; each GN iteration is a dense [3K, 3K]
+    # solve — the dominant keyframe-event cost at K=256 (docs/PERF.md), so
+    # the iteration budget is config (and may differ when a closure landed)
+    if gcfg.optimize_iterations_loop != gcfg.optimize_iterations:
+        g = jax.lax.cond(
+            looped,
+            lambda gg: posegraph.optimize(
+                gg, iterations=gcfg.optimize_iterations_loop,
+                anchor_weight=1e6, huber_delta=gcfg.huber_delta),
+            lambda gg: posegraph.optimize(
+                gg, iterations=gcfg.optimize_iterations,
+                anchor_weight=1e6, huber_delta=gcfg.huber_delta),
+            g)
+    else:
+        g = posegraph.optimize(g, iterations=gcfg.optimize_iterations,
+                               anchor_weight=1e6,
+                               huber_delta=gcfg.huber_delta)
 
     new_state = state._replace(graph=g, kf_points=kf_points, kf_valid=kf_valid,
                                last_kf_pose=pose,

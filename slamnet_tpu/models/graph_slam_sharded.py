@@ -110,9 +110,11 @@ def make_step(mesh: Mesh, hcfg: HectorConfig, gcfg: PoseGraphConfig,
 
     Returns step(state, points f32[N,2], valid bool[N], force bool)
             -> (state, ShardedGraphSlamInfo) — the sharded twin of
-    models.graph_slam.update (same keyframe/loop/optimize schedule:
-    posegraph.optimize(iterations=3) becomes `opt_iterations` node-sharded
-    Schur GN steps over `search_axis`).
+    models.graph_slam.update (same keyframe/loop schedule; the dense model's
+    per-keyframe optimize becomes `opt_iterations` node-sharded Schur GN
+    steps over `search_axis` — a fixed count, not the dense path's
+    1-normally / 3-on-closure incremental split, since the Schur steps are
+    the collective whose cost the mesh amortizes).
     """
     if mcfg is None:
         mcfg = frontend.ScanMatchConfig()

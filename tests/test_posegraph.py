@@ -233,3 +233,39 @@ def test_keyframe_due_and_loop_candidates():
     mask = frontend.loop_candidates(poses, valid, 3, radius=1.0,
                                     min_index_gap=2)
     np.testing.assert_array_equal(np.asarray(mask), [True, False, False, False])
+
+
+def test_active_gn_dx_equals_full_dense():
+    """The bucketed active-prefix GN step (round-4 cost fix: both the dense
+    LU and the H assembly pay for STATIC capacity, the measured dominant
+    keyframe cost) must equal the full [3K, 3K] build + solve — exact by
+    block-diagonality (edges never couple valid and invalid nodes; invalid
+    rows are identity with zero b)."""
+    # 24 nodes in a 128-capacity graph: bucket 32 is selected, 4x smaller
+    g, _, _ = _circle_graph(n=24, max_nodes=128, max_edges=256)
+    H, b = posegraph.build_normal_equations(g, anchor_weight=1e6,
+                                            damping=1e-6)
+    full = np.asarray(jnp.linalg.solve(H, -b))
+    fast = np.asarray(posegraph._active_gn_dx(g, 1e6, 1e-6, 0.0))
+    np.testing.assert_allclose(fast, full, atol=1e-5)
+    # trailing (invalid-node) block: exactly zero both ways
+    assert np.abs(fast[3 * 24:]).max() == 0.0
+    np.testing.assert_allclose(full[3 * 24:], 0.0, atol=1e-7)
+
+    # boundary: num_nodes exactly at capacity = the full build/solve path
+    g2, _, _ = _circle_graph(n=32, max_nodes=32, max_edges=128)
+    H2, b2 = posegraph.build_normal_equations(g2, 1e6, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(posegraph._active_gn_dx(g2, 1e6, 1e-6, 0.0)),
+        np.asarray(jnp.linalg.solve(H2, -b2)), atol=1e-5)
+
+    # under jit with a traced num_nodes (the production path inside lax.scan)
+    fast_jit = np.asarray(jax.jit(
+        lambda g: posegraph._active_gn_dx(g, 1e6, 1e-6, 0.0))(g))
+    np.testing.assert_allclose(fast_jit, full, atol=1e-5)
+
+    # with the robust kernel on (bucketed assembly must thread huber_delta)
+    fast_h = np.asarray(posegraph._active_gn_dx(g, 1e6, 1e-6, 1.0))
+    Hh, bh = posegraph.build_normal_equations(g, 1e6, 1e-6, 1.0)
+    np.testing.assert_allclose(fast_h, np.asarray(jnp.linalg.solve(Hh, -bh)),
+                               atol=1e-5)
