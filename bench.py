@@ -610,9 +610,12 @@ def bench_particle(radii, valids, angles, traj, n_scans, bootstrap,
         table[name] = {"scans_per_sec": round(rate, 1), "ate_m": round(ate, 4),
                        "max_err_m": round(mx, 4)}
 
-    # headline gate: fastest mode whose ATE <= 1.25x the exact mode's ATE —
-    # a fast mode may not trade accuracy for the headline (r02 review rule)
-    bound = 1.25 * results["exact"][1]
+    # headline gate: fastest mode whose ATE <= exact + 2 cm (absorbs the MC
+    # refine's stochastic spread, nothing more).  The old 1.25x-relative gate
+    # was anchored to the weak exact-mode baseline (0.285 m) and admitted
+    # anything under 0.356 m — 3x worse than the headline actually achieves
+    # (VERDICT r03 weak #6); the additive bound keeps the bar meaningful.
+    bound = results["exact"][1] + 0.02
     eligible = {n: r for n, r in results.items() if r[1] <= bound}
     pick = max(eligible, key=lambda n: eligible[n][0])
     rate, ate, mx = results[pick]

@@ -100,3 +100,23 @@ def test_loop_trajectory_within_envelope():
     assert step.max() < 0.05  # << 2.5 m/scan Hector envelope (README.md:35-39)
     dth = np.abs(np.diff(np.unwrap(poses[:, 2].astype(np.float64))))
     assert dth.max() < math.radians(20.0)  # angular envelope (README.md:40)
+
+
+def test_rect_revisit_trajectory_turns_and_revisits():
+    """The graph-bench trajectory (round 4): heading changes at every corner
+    AND periodic revisits of the start corner — both inside the envelope."""
+    poses = trajectory.rect_revisit_trajectory(num_loops=2)
+    assert poses.shape[0] >= 500
+    step = np.linalg.norm(np.diff(poses[:, :2], axis=0), axis=1)
+    assert step.max() < 0.4        # < coarsest-level pixel (README.md:35-39)
+    th = np.unwrap(poses[:, 2].astype(np.float64))
+    dth = np.abs(np.diff(th))
+    assert dth.max() < math.radians(20.0)
+    # real rotation happens: two CCW laps accumulate ~4pi of heading
+    assert th.max() - th.min() > 1.5 * math.pi
+    # the second lap re-approaches the start corner (loop-closure radius 2.0)
+    start = poses[0, :2]
+    d = np.linalg.norm(poses[:, :2] - start[None], axis=1)
+    away = np.where(d > 3.0)[0]
+    assert away.size > 0
+    assert d[away[0]:].min() < 0.5  # returns to within 0.5 m after leaving
