@@ -36,7 +36,14 @@ def waypoint_trajectory(waypoints: np.ndarray, speed: float, scan_rate: float,
     pos = waypoints[0].astype(np.float64)
     heading = 0.0
     for wp in waypoints[1:]:
-        while True:
+        # step cap: when the turn radius (speed / turn_rate) is comparable to
+        # the approach distance, a rate-limited follower can ORBIT a waypoint
+        # it cannot curve into — cap the steps per leg and move on (the path
+        # just cuts that corner) instead of looping forever
+        leg = float(np.hypot(*(wp - pos)))
+        max_steps = int(4.0 * leg / (speed * dt)) + int(
+            2.0 * math.pi / max(max_turn_rate * dt, 1e-6)) + 8
+        for _ in range(max_steps):
             delta = wp - pos
             dist = float(np.hypot(*delta))
             if dist < speed * dt:
@@ -84,6 +91,45 @@ def rect_revisit_trajectory(num_loops: int = 2, speed: float = 0.95,
     pts = list(rect)
     waypoints = np.asarray(pts * num_loops + [pts[0]], np.float32)
     return waypoint_trajectory(waypoints, speed, scan_rate)
+
+
+def rect_drive_trajectory(rect=((20.0, 20.0), (22.0, 20.0),
+                                (22.0, 21.2), (20.0, 21.2)),
+                          num_loops: int = 1, step: float = 0.3,
+                          turn_step: float = math.radians(10.0),
+                          closing_leg: int = 1) -> np.ndarray:
+    """Compact turning loop: straight legs at `step` m/scan, 90-degree
+    corners rotated IN PLACE at `turn_step` rad/scan (each motion mode stays
+    well inside Hector's envelope, unlike a fast curving follower).  Drives
+    the rectangle `num_loops` times plus `closing_leg` extra legs so the
+    trajectory re-approaches its start corner — the multichip dryrun's
+    loop-closure path (a few dozen scans instead of rect_revisit_trajectory's
+    hundreds)."""
+    pts = [np.asarray(p, np.float64) for p in rect]
+    n = len(pts)
+    legs = num_loops * n + closing_leg
+    poses = []
+    heading = 0.0
+    pos = pts[0].copy()
+    for i in range(legs):
+        target = pts[(i + 1) % n]
+        d = target - pos
+        target_heading = math.atan2(d[1], d[0])
+        # rotate in place toward the leg heading
+        dh = (target_heading - heading + math.pi) % (2 * math.pi) - math.pi
+        while abs(dh) > 1e-6:
+            turn = float(np.clip(dh, -turn_step, turn_step))
+            heading += turn
+            poses.append([pos[0], pos[1], heading])
+            dh -= turn
+        # drive the leg
+        dist = float(np.hypot(*d))
+        n_steps = max(1, int(round(dist / step)))
+        for s in range(1, n_steps + 1):
+            p = pos + d * (s / n_steps)
+            poses.append([p[0], p[1], heading])
+        pos = target.copy()
+    return np.asarray(poses, np.float32)
 
 
 def spin_trajectory(pose=(20.0, 20.0, 0.0), turn_rate: float = math.radians(40.0),
