@@ -194,20 +194,27 @@ def _local_gn_reduce(local, loff, width, rows, r0, height, scale, pose_px,
         # (the halo row is the view's last row)
         view = jax.lax.dynamic_slice(
             local, (loff,), ((rows + 1) * width,)).reshape(rows + 1, width)
+        # bf16 one-hot masks in the non-exact mode (ops/gn.py: 0/1 exact in
+        # bf16; mask materialization is the kernel's real cost)
+        oh_dt = (jnp.float32 if matcher_mode == "onehot_highest"
+                 else jnp.bfloat16)
         ry = jnp.concatenate([ly, ly + 1])                       # [2N]
         oh_rows = (ry[:, None] == jnp.arange(rows + 1, dtype=ry.dtype)
-                   ).astype(jnp.float32)
+                   ).astype(oh_dt)
         prec = (jax.lax.Precision.HIGHEST
                 if matcher_mode == "onehot_highest" else None)
-        sel = jnp.dot(oh_rows, view, precision=prec)             # [2N, width]
+        tbl = view if matcher_mode == "onehot_highest" else view.astype(oh_dt)
+        sel = jnp.dot(oh_rows, tbl,
+                      precision=prec).astype(jnp.float32)        # [2N, width]
         lane = jnp.arange(width, dtype=lx.dtype)
-        oh0 = (lx[:, None] == lane).astype(jnp.float32)
-        oh1 = ((lx + 1)[:, None] == lane).astype(jnp.float32)
+        oh0 = (lx[:, None] == lane).astype(oh_dt)
+        oh1 = ((lx + 1)[:, None] == lane).astype(oh_dt)
         n = X.shape[0]
         rlo, rhi = sel[:n], sel[n:]
         # order matches the gather stack: (y,x) (y,x+1) (y+1,x) (y+1,x+1)
         raw = jnp.stack([(rlo * oh0).sum(axis=1), (rlo * oh1).sum(axis=1),
-                         (rhi * oh0).sum(axis=1), (rhi * oh1).sum(axis=1)])
+                         (rhi * oh0).sum(axis=1),
+                         (rhi * oh1).sum(axis=1)]).astype(jnp.float32)
     v = jax.nn.sigmoid(raw)
     fx = mx - xi
     fy = my - yi

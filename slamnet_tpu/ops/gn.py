@@ -258,19 +258,28 @@ def fused_gn_iteration_onehot_stats(table2d: jnp.ndarray, row_off: int,
     total_rows = table2d.shape[0]
     lanes = table2d.shape[1]
 
+    # bf16 mode builds the one-hot masks (and table operand) in bf16: 0/1 are
+    # exact in bf16 and the MXU rounds the table anyway, so semantics are
+    # unchanged while the mask materialization (the kernel's real cost — far
+    # above the MXU floor) moves half the bytes (measured +1.3% headline,
+    # scripts/bench_onehot_variants.py; a take_along_axis lane select on the
+    # FRESH sel operand measured 35% SLOWER — the gather wall again)
+    oh_dt = jnp.float32 if precision == "highest" else jnp.bfloat16
     ry = row_off + yi
     rsel = jnp.concatenate([ry, ry + 1])                      # [2N]
     oh_rows = (rsel[:, None]
-               == jnp.arange(total_rows, dtype=ry.dtype)).astype(jnp.float32)
+               == jnp.arange(total_rows, dtype=ry.dtype)).astype(oh_dt)
     prec = (jax.lax.Precision.HIGHEST if precision == "highest" else None)
-    sel = jnp.dot(oh_rows, table2d, precision=prec)           # [2N, lanes]
+    tbl = table2d if precision == "highest" else table2d.astype(oh_dt)
+    sel = jnp.dot(oh_rows, tbl, precision=prec).astype(jnp.float32)
 
     lane = jnp.arange(lanes, dtype=xi.dtype)
-    oh0 = (xi[:, None] == lane).astype(jnp.float32)           # [N, lanes]
-    oh1 = ((xi + 1)[:, None] == lane).astype(jnp.float32)
+    oh0 = (xi[:, None] == lane).astype(oh_dt)                 # [N, lanes]
+    oh1 = ((xi + 1)[:, None] == lane).astype(oh_dt)
     r0, r1 = sel[:n], sel[n:]
     raw = jnp.stack([(r0 * oh0).sum(axis=1), (r0 * oh1).sum(axis=1),
-                     (r1 * oh0).sum(axis=1), (r1 * oh1).sum(axis=1)])
+                     (r1 * oh0).sum(axis=1),
+                     (r1 * oh1).sum(axis=1)]).astype(jnp.float32)
     v = jax.nn.sigmoid(raw)
     return _gn_tail(v, mx, my, xi, yi, ok, X, Y, sr, cr, pose_px, deriv_clamp,
                     True, xy_clamp, damping)
@@ -396,22 +405,27 @@ def fused_gn_iteration_batch_onehot(table3d: jnp.ndarray, row_off: int,
     xi = jnp.clip(mx.astype(jnp.int32), 0, width - 2)
     yi = jnp.clip(my.astype(jnp.int32), 0, width - 2)
 
+    # bf16 one-hot masks in the non-exact mode (see the single-instance
+    # kernel: 0/1 exact in bf16, mask materialization is the cost)
+    oh_dt = jnp.float32 if precision == "highest" else jnp.bfloat16
     ry = row_off + yi                                       # [B, N]
     rsel = jnp.concatenate([ry, ry + 1], axis=1)            # [B, 2N]
     iota_r = jnp.arange(total_rows, dtype=ry.dtype)
-    oh_rows = (rsel[:, :, None] == iota_r).astype(jnp.float32)   # [B, 2N, R]
+    oh_rows = (rsel[:, :, None] == iota_r).astype(oh_dt)    # [B, 2N, R]
     prec = (jax.lax.Precision.HIGHEST if precision == "highest" else None)
-    sel = jnp.einsum("bnr,brl->bnl", oh_rows, table3d,
-                     precision=prec)                        # [B, 2N, lanes]
+    tbl = table3d if precision == "highest" else table3d.astype(oh_dt)
+    sel = jnp.einsum("bnr,brl->bnl", oh_rows, tbl,
+                     precision=prec).astype(jnp.float32)    # [B, 2N, lanes]
 
     n = X.shape[1]
     lane = jnp.arange(lanes, dtype=xi.dtype)
-    oh0 = (xi[:, :, None] == lane).astype(jnp.float32)      # [B, N, lanes]
-    oh1 = ((xi + 1)[:, :, None] == lane).astype(jnp.float32)
+    oh0 = (xi[:, :, None] == lane).astype(oh_dt)            # [B, N, lanes]
+    oh1 = ((xi + 1)[:, :, None] == lane).astype(oh_dt)
     r0, r1 = sel[:, :n], sel[:, n:]
     v = jax.nn.sigmoid(jnp.stack([
         (r0 * oh0).sum(axis=2), (r0 * oh1).sum(axis=2),
-        (r1 * oh0).sum(axis=2), (r1 * oh1).sum(axis=2)]))   # [4, B, N]
+        (r1 * oh0).sum(axis=2),
+        (r1 * oh1).sum(axis=2)]).astype(jnp.float32))       # [4, B, N]
 
     fx = mx - xi
     fy = my - yi

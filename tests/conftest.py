@@ -18,6 +18,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# persistent compilation cache: the suite's wall clock is dominated by XLA
+# CPU compiles of the same programs every run (~30 min cold); cached
+# executables cut reruns to minutes.  Separate dir from the TPU bench cache
+# (.jax_cache) only by key — the cache keys on backend + HLO, so sharing the
+# directory is safe.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def pytest_configure(config):
