@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
     ap.add_argument("--capacities", default="8,16,32,0",
                     help="comma list; 0 = uncapped (the default config)")
+    ap.add_argument("--damping", type=float, default=0.0,
+                    help="gn_damping (Levenberg diag scaling; ~0.1 "
+                         "recommended for production serving)")
     args = ap.parse_args()
 
     import os
@@ -48,7 +51,8 @@ def main():
 
     base = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4),
                         xy_step_clamp_px=10.0, max_match_jump=1.0,
-                        match_subsample=4, matcher_mode="onehot_bf16")
+                        match_subsample=4, matcher_mode="onehot_bf16",
+                        gn_damping=args.damping)
     sim = SimConfig()
     B, T = args.batch, args.scans
     boot = 10
