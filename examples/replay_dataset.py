@@ -53,7 +53,13 @@ def main():
     from slamnet_tpu.io import datasets, viz
     from slamnet_tpu.models import coreslam, hector
 
-    log = datasets.read_carmen(args.log, max_scans=args.max_scans)
+    # prefer the native parser (native/slamnet_host.cpp, bit-identical to the
+    # Python reader — tests/test_hostio.py); fall back when no toolchain
+    from slamnet_tpu import hostio
+    log = hostio.read_carmen_native(args.log, max_scans=args.max_scans)
+    used_native = log is not None
+    if log is None:
+        log = datasets.read_carmen(args.log, max_scans=args.max_scans)
     T, N = log.ranges.shape
     pts_all = datasets.log_points(log)
 
@@ -143,7 +149,8 @@ def main():
     cdrift = float(np.linalg.norm(np.asarray(cstate.pose)[:2] - odo[-1][:2]))
     hdrift = float(np.linalg.norm(
         np.asarray(hstate.match_pose)[:2] - odo[-1][:2]))
-    print(f"{T} scans x {N} beams in {dt:.1f}s ({T / dt:.1f} scans/s)")
+    print(f"{T} scans x {N} beams in {dt:.1f}s ({T / dt:.1f} scans/s)"
+          f"  [{'native' if used_native else 'python'} parser]")
     print(f"final vs odometry: coreslam {cdrift:.3f} m, hector {hdrift:.3f} m")
     if truth is not None:
         # the log embeds ground truth ("# TRUTH" lines): report real ATE

@@ -259,4 +259,117 @@ void pack_polar_deskew(const float* angles, const float* radii,
   }
 }
 
+// ----------------------------------------------------------- CARMEN reader
+//
+// Native parser for the CARMEN log format (Radish corpus: FLASER scans +
+// odometry; the real-robot ingestion path, io/datasets.py is the Python
+// twin).  Two-pass C ABI: carmen_scan_count sizes the log, carmen_read fills
+// caller-allocated fixed-shape buffers.  Handles:
+//   FLASER n r_1..r_n  lx ly lth  ox oy oth  ts host log_ts
+//   # TRUTH x y th          (ground truth for the NEXT scan; simulator logs)
+//   PARAM <name with "maxrange"/"laser_max"> <value>
+// ROBOTLASER1 and other line types are skipped (the Python reader covers
+// them; every Radish FLASER log parses here).
+
+namespace {
+
+// CARMEN lines are space-separated ASCII floats.
+inline const char* next_tok(const char* p) {
+  while (*p == ' ' || *p == '\t') p++;
+  return p;
+}
+
+}  // namespace
+
+// Returns the number of FLASER scans (up to max_scans; <= 0 on error) and
+// sets *n_beams (beam count of the first scan; mixed counts -> error -2),
+// *max_range (from a PARAM line, else 0) and *has_truth.
+int64_t carmen_scan_count(const char* path, int64_t* n_beams,
+                          double* max_range, int32_t* has_truth,
+                          int64_t max_scans) {
+  FILE* f = fopen(path, "r");
+  if (!f) return -1;
+  int64_t scans = 0, beams = 0, truths = 0;
+  *max_range = 0.0;
+  std::vector<char> line(1 << 20);
+  while (fgets(line.data(), (int)line.size(), f)) {
+    const char* p = next_tok(line.data());
+    if (std::strncmp(p, "# TRUTH ", 8) == 0) { truths++; continue; }
+    if (*p == '#') continue;
+    if (std::strncmp(p, "PARAM ", 6) == 0) {
+      const char* name = next_tok(p + 6);
+      const char* sp = name;
+      while (*sp && *sp != ' ' && *sp != '\t') sp++;
+      std::string nm(name, sp - name);
+      if (nm.find("maxrange") != std::string::npos ||
+          (nm.size() > 9 && nm.rfind("laser_max") == nm.size() - 9)) {
+        *max_range = strtod(sp, nullptr);
+      }
+      continue;
+    }
+    if (std::strncmp(p, "FLASER ", 7) == 0) {
+      char* end;
+      long n = strtol(p + 7, &end, 10);
+      if (n <= 0) { fclose(f); return -3; }
+      if (beams == 0) beams = n;
+      else if (beams != n) { fclose(f); return -2; }
+      scans++;
+      if (max_scans > 0 && scans >= max_scans) break;
+    }
+  }
+  fclose(f);
+  *n_beams = beams;
+  *has_truth = (truths >= scans && scans > 0) ? 1 : 0;
+  return scans;
+}
+
+// Fill ranges [T*N] f32, odom [T*3] f32, truth [T*3] f32 (zeros when the log
+// carries none), stamps [T] f64.  Returns scans filled (<= 0 on error).
+int64_t carmen_read(const char* path, int64_t max_scans, int64_t n_beams,
+                    float* ranges, float* odom, float* truth, double* stamps) {
+  FILE* f = fopen(path, "r");
+  if (!f) return -1;
+  int64_t t = 0;
+  bool have_truth = false;
+  float pending_truth[3] = {0, 0, 0};
+  std::vector<char> line(1 << 20);
+  while (t < max_scans && fgets(line.data(), (int)line.size(), f)) {
+    char* p = const_cast<char*>(next_tok(line.data()));
+    if (std::strncmp(p, "# TRUTH ", 8) == 0) {
+      char* q = p + 8;
+      // strtod + cast (not strtof): bit-identical to the Python reader's
+      // float(text) -> np.float32 double-rounding path
+      for (int i = 0; i < 3; i++) pending_truth[i] = (float)strtod(q, &q);
+      have_truth = true;
+      continue;
+    }
+    if (*p == '#') continue;
+    if (std::strncmp(p, "FLASER ", 7) != 0) continue;
+    char* q = p + 7;
+    long n = strtol(q, &q, 10);
+    if (n != n_beams) { fclose(f); return -2; }
+    float* r = ranges + t * n_beams;
+    for (long i = 0; i < n; i++) r[i] = (float)strtod(q, &q);
+    float lx = (float)strtod(q, &q), ly = (float)strtod(q, &q),
+          lth = (float)strtod(q, &q);
+    // skip odom x y th (FLASER duplicates the laser pose in our writer;
+    // real logs carry the robot odometry here -- the laser pose fields are
+    // the reader contract, matching io/datasets.read_carmen)
+    strtod(q, &q); strtod(q, &q); strtod(q, &q);
+    double ts = strtod(q, &q);
+    odom[3 * t + 0] = lx; odom[3 * t + 1] = ly; odom[3 * t + 2] = lth;
+    stamps[t] = ts;
+    if (have_truth) {
+      truth[3 * t + 0] = pending_truth[0];
+      truth[3 * t + 1] = pending_truth[1];
+      truth[3 * t + 2] = pending_truth[2];
+      have_truth = false;
+    }
+    t++;
+  }
+  fclose(f);
+  return t;
+}
+
 }  // extern "C"
+

@@ -74,6 +74,16 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
     lib.slam_crc32.restype = ctypes.c_uint32
     lib.slam_crc32.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
 
+    lib.carmen_scan_count.restype = ctypes.c_int64
+    lib.carmen_scan_count.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64]
+    lib.carmen_read.restype = ctypes.c_int64
+    lib.carmen_read.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+
     _lib = lib
     return lib
 
@@ -206,3 +216,48 @@ def pack_polar_deskew(angles, radii, valid, seg_poses) -> Tuple[np.ndarray,
         out_p[:, 1] = (rel[:, None, 1] + radii * np.sin(a)).reshape(-1)
         out_v[:] = vu8.reshape(-1)
     return out_p, out_v.astype(bool)
+
+
+def read_carmen_native(path: str, max_scans: int | None = None):
+    """Native-parser twin of io.datasets.read_carmen (FLASER logs).
+
+    Parses the log in C++ (native/slamnet_host.cpp carmen_read) into the same
+    LidarLog contract — the real-robot ingestion path at native speed, bit-
+    identical to the Python reader (tests/test_hostio.py).  Returns None when
+    the native library is unavailable (callers fall back to the Python
+    reader); raises ValueError on malformed/mixed-beam logs like the twin.
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    from ..io.datasets import SICK_MAX_RANGE, LidarLog, _flaser_angles
+
+    beams = ctypes.c_int64(0)
+    maxr = ctypes.c_double(0.0)
+    has_truth = ctypes.c_int32(0)
+    cap = -1 if max_scans is None else int(max_scans)
+    t = lib.carmen_scan_count(path.encode(), ctypes.byref(beams),
+                              ctypes.byref(maxr), ctypes.byref(has_truth),
+                              cap)
+    if t == 0:
+        raise ValueError(f"no FLASER lines in {path}")
+    if t < 0:
+        raise ValueError(f"carmen_scan_count({path}) failed: {t}")
+    n = int(beams.value)
+    ranges = np.empty((t, n), np.float32)
+    odom = np.empty((t, 3), np.float32)
+    truth = np.zeros((t, 3), np.float32)
+    stamps = np.empty(t, np.float64)
+    got = lib.carmen_read(path.encode(), t, n,
+                          ranges.ctypes.data_as(ctypes.c_void_p),
+                          odom.ctypes.data_as(ctypes.c_void_p),
+                          truth.ctypes.data_as(ctypes.c_void_p),
+                          stamps.ctypes.data_as(ctypes.c_void_p))
+    if got != t:
+        raise ValueError(f"carmen_read({path}) failed: {got} != {t}")
+    max_range = float(maxr.value) if maxr.value > 0 else SICK_MAX_RANGE
+    valid = (ranges > 0.0) & (ranges < 0.99 * max_range)
+    return LidarLog(ranges=ranges, valid=valid, odometry=odom,
+                    angles=_flaser_angles(n), max_range=max_range,
+                    timestamps=stamps,
+                    truth=truth if has_truth.value else None)

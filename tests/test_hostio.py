@@ -105,3 +105,46 @@ def test_pack_polar_deskew_matches_jnp():
     cloud = segments_to_cloud(seg)
     np.testing.assert_allclose(pts, np.asarray(cloud.points), atol=2e-5)
     np.testing.assert_array_equal(v, np.asarray(cloud.valid))
+
+
+def test_native_carmen_reader_bit_identical():
+    """carmen_read (native/slamnet_host.cpp) must produce the exact LidarLog
+    the Python reader does on both checked-in logs — including the "# TRUTH"
+    sidecar, the PARAM max-range line, and strtod->f32 parsing (bit-identical
+    to Python's float(text) -> np.float32 path)."""
+    from slamnet_tpu.io import datasets
+
+    base = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "data")
+    for name in ("sim_loop.clf", "adversarial_180.clf"):
+        path = os.path.join(base, name)
+        a = hostio.read_carmen_native(path)
+        b = datasets.read_carmen(path)
+        np.testing.assert_array_equal(a.ranges, b.ranges)
+        np.testing.assert_array_equal(a.valid, b.valid)
+        np.testing.assert_array_equal(a.odometry, b.odometry)
+        np.testing.assert_array_equal(a.timestamps, b.timestamps)
+        np.testing.assert_allclose(a.angles, b.angles)
+        assert a.max_range == b.max_range
+        assert (a.truth is None) == (b.truth is None)
+        if a.truth is not None:
+            np.testing.assert_array_equal(a.truth, b.truth)
+
+    # max_scans honored (both passes)
+    path = os.path.join(base, "adversarial_180.clf")
+    a = hostio.read_carmen_native(path, max_scans=7)
+    b = datasets.read_carmen(path, max_scans=7)
+    assert a.ranges.shape == b.ranges.shape == (7, 181)
+    np.testing.assert_array_equal(a.ranges, b.ranges)
+
+
+def test_native_carmen_reader_rejects_garbage(tmp_path):
+    p = tmp_path / "empty.clf"
+    p.write_text("# nothing here\nODOM 1 2 3 0 0 0 5 h 5\n")
+    with pytest.raises(ValueError):
+        hostio.read_carmen_native(str(p))
+    q = tmp_path / "mixed.clf"
+    q.write_text("FLASER 2 1.0 2.0 0 0 0 0 0 0 1 h 1\n"
+                 "FLASER 3 1.0 2.0 3.0 0 0 0 0 0 0 2 h 2\n")
+    with pytest.raises(ValueError):
+        hostio.read_carmen_native(str(q))
