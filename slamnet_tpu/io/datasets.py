@@ -209,7 +209,8 @@ def simulate_adversarial_log(n_scans: int = 360, num_beams: int = 181,
                              odom_heading_bias: float = 0.0008,
                              odom_step_noise: float = 0.004,
                              num_slips: int = 3,
-                             seed: int = 11) -> LidarLog:
+                             seed: int = 11,
+                             trajectory=None) -> LidarLog:
     """A "realistic adversarial" CARMEN log (VERDICT r03 item 5): the failure
     modes of real sensor logs (Radish intel.clf / fr079 class), which the
     clean simulator bench never exercises:
@@ -242,7 +243,9 @@ def simulate_adversarial_log(n_scans: int = 360, num_beams: int = 181,
     sim = SimConfig()
     fld = default_field()
     angles = _flaser_angles(num_beams)
-    traj = np.asarray(loop_trajectory(speed=speed)[:n_scans], np.float64)
+    if trajectory is None:
+        trajectory = loop_trajectory(speed=speed)
+    traj = np.asarray(trajectory[:n_scans], np.float64)
     if traj.shape[0] < n_scans:
         raise ValueError(f"trajectory too short: {traj.shape[0]} < {n_scans}")
 
