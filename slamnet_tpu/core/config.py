@@ -107,7 +107,11 @@ class HectorConfig(_Overlayable):
     # False (default): reference-parity Bresenham-line free marking.
     # True: scatter-free dense polygon fill (ops/logodds.update_occupancy_dense)
     # — 10-20x faster map updates, denser free evidence; use for fleet/mapping-
-    # heavy workloads (documented semantic difference).
+    # heavy workloads (documented semantic difference).  NOT for partial-FoV
+    # sensors: the polygon fill assumes full-revolution coverage; on a
+    # 180-degree log the free evidence lands wrong and tracking degrades 6x
+    # (measured 0.034 -> 0.207 m rms on examples/data/adversarial_180.clf,
+    # docs/PERF.md) — keep line mode for front-facing lidars.
     early_exit_tol: float = 0.0
     # 0 (default): the reference's fixed per-level iteration counts.
     # > 0: stop a level's GN iterations once the step norm (map pixels /
