@@ -203,11 +203,17 @@ def main():
     # MXU matcher composed with the dense occupancy fill); SLAMNET_BENCH_ALL=1
     # or scripts/bench_hector_variants.py measures the whole ladder.
     candidates = [
-        # one-hot MXU gather (ops/gn.py) + scatter-free dense occupancy fill:
-        # the two measured wins composed (bit-accuracy ATE-gated like all modes)
+        # one-hot MXU gather (ops/gn.py) + scatter-free dense occupancy fill
         ("onehot_bf16_dense",
          dataclasses.replace(cfg, early_exit_tol=1e-3,
                              matcher_mode="onehot_bf16",
+                             dense_free_fill=True)),
+        # the whole coarse-to-fine match as ONE Pallas kernel with the
+        # pyramid VMEM-resident across all GN iterations
+        # (ops/pallas_onehot.py) + dense fill — the round-4 headline
+        # (bit-accuracy ATE-gated like all modes)
+        ("pallas_dense",
+         dataclasses.replace(cfg, matcher_mode="pallas",
                              dense_free_fill=True)),
     ]
     if _ALL_MODES:
@@ -225,6 +231,8 @@ def main():
             ("onehot_bf16",
              dataclasses.replace(cfg, early_exit_tol=1e-3,
                                  matcher_mode="onehot_bf16")),
+            ("pallas",
+             dataclasses.replace(cfg, matcher_mode="pallas")),
         ] + candidates
 
     best = t_fixed

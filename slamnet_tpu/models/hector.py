@@ -160,6 +160,26 @@ def match_with_stats(state_maps: jnp.ndarray, scan: Scan,
     Y = _pad_beams(pts[:, 1], pad)
     valid = _pad_beams(vld, pad, fill=False)
 
+    if cfg.matcher_mode == "pallas":
+        # the whole coarse-to-fine match in ONE Pallas kernel with the
+        # pyramid tables VMEM-resident across all GN iterations
+        # (ops/pallas_onehot.py; bf16 onehot semantics, ATE-gated like
+        # every production mode).  interpret mode on non-TPU backends.
+        from ..ops import pallas_onehot
+        tables = pallas_onehot.prepare_tables(table, cfg)
+        fn = pallas_onehot.make_pallas_match(
+            cfg, pad, interpret=jax.default_backend() != "tpu")
+        pose0 = jnp.concatenate([hint_pose_world,
+                                 jnp.zeros(1, jnp.float32)]).reshape(1, 4)
+        out = fn(*tables, X[:, None], Y[:, None],
+                 valid.astype(jnp.float32)[:, None], pose0)[0]
+        pose = out[:3]
+        stats = MatchStats(
+            residual=out[4] / jnp.maximum(out[5], 1.0),
+            iterations=jnp.int32(sum(cfg.estimate_iterations[:cfg.num_levels])),
+            solve_failures=out[3].astype(jnp.int32))
+        return pose, stats
+
     estimate = hint_pose_world
     any_valid = jnp.any(scan.valid)
     ox, oy = cfg.offset
