@@ -517,6 +517,16 @@ def bench_graph(angles, n_scans=512, bootstrap=12):
                                      dense_fill=True))
     else:
         _SKIPPED.append("graph:onehot_full")
+    # + the Pallas matcher for the per-scan hector tracking (the dominant
+    # graph cost now that the pose-graph solve is active-prefix bucketed)
+    if _remaining() > 120:
+        modes["pallas_full"] = run(
+            dataclasses.replace(hcfg, matcher_mode="pallas",
+                                dense_free_fill=True),
+            frontend.ScanMatchConfig(matcher_mode="onehot_bf16",
+                                     dense_fill=True))
+    else:
+        _SKIPPED.append("graph:pallas_full")
     base = modes["gather"]
     # gate on the UNROUNDED ATE (mirrors the hector gate; 1e-4 absorbs only
     # float noise, not a rounding quantum)
