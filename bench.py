@@ -517,13 +517,14 @@ def bench_graph(angles, n_scans=512, bootstrap=12):
                                      dense_fill=True))
     else:
         _SKIPPED.append("graph:onehot_full")
-    # + the Pallas matcher for the per-scan hector tracking (the dominant
-    # graph cost now that the pose-graph solve is active-prefix bucketed)
+    # + the Pallas matchers end-to-end: per-scan hector tracking (the
+    # dominant graph cost now that the pose-graph solve is active-prefix
+    # bucketed) AND the loop-closure scan-to-scan match
     if _remaining() > 120:
         modes["pallas_full"] = run(
             dataclasses.replace(hcfg, matcher_mode="pallas",
                                 dense_free_fill=True),
-            frontend.ScanMatchConfig(matcher_mode="onehot_bf16",
+            frontend.ScanMatchConfig(matcher_mode="pallas",
                                      dense_fill=True))
     else:
         _SKIPPED.append("graph:pallas_full")

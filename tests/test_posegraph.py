@@ -269,3 +269,24 @@ def test_active_gn_dx_equals_full_dense():
     Hh, bh = posegraph.build_normal_equations(g, 1e6, 1e-6, 1.0)
     np.testing.assert_allclose(fast_h, np.asarray(jnp.linalg.solve(Hh, -bh)),
                                atol=1e-5)
+
+
+def test_match_scans_pallas_mode():
+    """matcher_mode="pallas" (ops/pallas_onehot single-level kernel) must
+    recover the relative pose like the XLA one-hot production path and agree
+    with it to float tolerance (same bf16 one-hot selection semantics)."""
+    ref = _ring_scan((0.0, 0.0, 0.0))
+    true_rel = np.asarray([0.4, -0.3, 0.08], np.float32)
+    qry = _ring_scan(tuple(true_rel))
+
+    xla = frontend.ScanMatchConfig(matcher_mode="onehot_bf16",
+                                   dense_fill=True)
+    rel_x, qx = frontend.match_scans(ref, qry, (0.0, 0.0, 0.0), xla)
+    pk = frontend.ScanMatchConfig(matcher_mode="pallas", dense_fill=True)
+    rel_p, qp = frontend.match_scans(ref, qry, (0.0, 0.0, 0.0), pk)
+    err = np.asarray(rel_p) - true_rel
+    assert abs(err[0]) < 0.1 and abs(err[1]) < 0.1, rel_p
+    assert abs(err[2]) < 0.05
+    np.testing.assert_allclose(np.asarray(rel_p), np.asarray(rel_x),
+                               atol=5e-3)
+    assert float(qp.inlier_frac) > 0.5, float(qp.inlier_frac)
