@@ -173,8 +173,15 @@ def main():
 
     def measure(cfg_x):
         replay = make_replay(cfg_x)
+        t0 = time.time()
         stf, out = replay(state, radii[bootstrap:], valids[bootstrap:])
         jax.block_until_ready(stf)
+        if time.time() - t0 > 20.0:
+            # a warm .jax_cache/ first call is ~0.5-3 s; tens of seconds
+            # means this program compiled remotely — surface it so a
+            # truncated driver table reads as "cold cache", not regression
+            # (docs/PERF.md: cold 1662 s vs the 1050 s default budget)
+            _OUT["cold_cache"] = True
         best = float("inf")
         for _ in range(5):
             t0 = time.time()

@@ -319,7 +319,9 @@ int64_t carmen_scan_count(const char* path, int64_t* n_beams,
   }
   fclose(f);
   *n_beams = beams;
-  *has_truth = (truths >= scans && scans > 0) ? 1 : 0;
+  // Exact 1:1 like the Python twin (io/datasets.read_carmen requires
+  // len(truth) == len(scans)); stray/extra '# TRUTH' lines -> no truth.
+  *has_truth = (truths == scans && scans > 0) ? 1 : 0;
   return scans;
 }
 
@@ -349,7 +351,13 @@ int64_t carmen_read(const char* path, int64_t max_scans, int64_t n_beams,
     long n = strtol(q, &q, 10);
     if (n != n_beams) { fclose(f); return -2; }
     float* r = ranges + t * n_beams;
-    for (long i = 0; i < n; i++) r[i] = (float)strtod(q, &q);
+    for (long i = 0; i < n; i++) {
+      char* q0 = q;
+      r[i] = (float)strtod(q, &q);
+      // token-count validation (Python-twin contract: a truncated FLASER
+      // line errors instead of silently zero-filling)
+      if (q == q0) { fclose(f); return -4; }
+    }
     float lx = (float)strtod(q, &q), ly = (float)strtod(q, &q),
           lth = (float)strtod(q, &q);
     // skip odom x y th (FLASER duplicates the laser pose in our writer;

@@ -141,6 +141,13 @@ class HectorConfig(_Overlayable):
     # loop-carried (variant) operand, where XLA's gather rate is the matcher
     # wall (docs/PERF.md).  "onehot_highest" is bit-identical to "gather";
     # "onehot_bf16" lets the MXU round the table (fast path, ATE-gated).
+    # "pallas": the whole coarse-to-fine match as ONE kernel with every
+    # level's row table VMEM-resident across all GN iterations
+    # (ops/pallas_onehot.py; onehot_bf16 selection semantics, 2.9x faster).
+    # Scope limits: requires offset == (0, 0) (asserted; the only value any
+    # model driver uses) and fixed iteration counts — early_exit_tol is
+    # rejected (measured unnecessary: converged iterations are no-ops and
+    # the kernel's fixed-iteration cost is below the XLA early-exit path).
     max_match_jump: float = 0.0
     # 0 (default): reference parity — the matched pose is always adopted.
     # > 0: robustness extension — if the matcher moved more than this many
@@ -261,7 +268,13 @@ class PoseGraphConfig(_Overlayable):
     # keyframes, so the incremental solve converges in 1 iteration unless a
     # loop closure just landed (measured on the 512-scan turning revisit
     # bench: 1/3 vs 3/3 gives IDENTICAL ATE/keyframes/closures at +16%
-    # throughput, scripts/profile_graph.py, docs/PERF.md round 4).
+    # throughput, scripts/profile_graph.py, docs/PERF.md round 4; also
+    # validated on the adversarial drifting log, scripts/
+    # bench_graph_adversarial.py --optimize-iterations ablation).  For
+    # robust-kernel-heavy workloads (huber_delta > 0 with many suspect
+    # closures) the DCS/Huber IRLS reweighting gets one re-linearization per
+    # non-closure keyframe under this default — restore 3 if closures are
+    # frequent and heavily down-weighted.
     optimize_iterations: int = 1
     # GN iterations when this keyframe ACCEPTED a loop closure (the graph
     # residual jumps, so the solve needs the extra iterations); only used

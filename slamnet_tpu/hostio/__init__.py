@@ -224,8 +224,10 @@ def read_carmen_native(path: str, max_scans: int | None = None):
     Parses the log in C++ (native/slamnet_host.cpp carmen_read) into the same
     LidarLog contract — the real-robot ingestion path at native speed, bit-
     identical to the Python reader (tests/test_hostio.py).  Returns None when
-    the native library is unavailable (callers fall back to the Python
-    reader); raises ValueError on malformed/mixed-beam logs like the twin.
+    the native library is unavailable OR the log has no FLASER lines (e.g.
+    ROBOTLASER1-format logs the Python reader handles) so callers can fall
+    back to io.datasets.read_carmen; raises ValueError on malformed/
+    mixed-beam logs like the twin.
     """
     lib = load_library()
     if lib is None:
@@ -240,7 +242,7 @@ def read_carmen_native(path: str, max_scans: int | None = None):
                               ctypes.byref(maxr), ctypes.byref(has_truth),
                               cap)
     if t == 0:
-        raise ValueError(f"no FLASER lines in {path}")
+        return None                 # not a FLASER log — Python reader's turn
     if t < 0:
         raise ValueError(f"carmen_scan_count({path}) failed: {t}")
     n = int(beams.value)

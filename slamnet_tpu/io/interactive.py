@@ -14,8 +14,8 @@ field with the mouse while both SLAM pipelines track it live
 TPU-native equivalent: a stdlib ThreadingHTTPServer serving one HTML page.
 The browser posts pose/heading/reset commands; a background thread runs the
 jitted Hector (and optionally CoreSLAM) step at the lidar scan rate; the
-page polls JSON state (map PNG + poses + rates) ~10x/s.  No dependencies
-beyond matplotlib for PNG encoding (already used by io/live.py).
+page polls JSON state (map PNG + poses + rates) ~10x/s.  Zero dependencies:
+PNG encoding is the hand-rolled stdlib encoder in io/live.py.
 
 Run: python examples/interactive_sim.py  (then open http://localhost:8801)
 """

@@ -165,6 +165,11 @@ def match_with_stats(state_maps: jnp.ndarray, scan: Scan,
         # pyramid tables VMEM-resident across all GN iterations
         # (ops/pallas_onehot.py; bf16 onehot semantics, ATE-gated like
         # every production mode).  interpret mode on non-TPU backends.
+        if cfg.early_exit_tol > 0.0:
+            raise ValueError(
+                "matcher_mode='pallas' runs fixed per-level iterations; "
+                "early_exit_tol is unsupported (and measured unnecessary — "
+                "see core/config.py matcher_mode docstring)")
         from ..ops import pallas_onehot
         tables = pallas_onehot.prepare_tables(table, cfg)
         fn = pallas_onehot.make_pallas_match(

@@ -89,7 +89,8 @@ def _beam_pad(n: int, n_search: int) -> int:
 
 def shard_tiles_host(dense_maps, cfg: HectorConfig, n_tiles: int):
     """Tile a dense concatenated pyramid into per-tile local tables (owned
-    rows + halo per level) — works on numpy or jnp arrays, no device ops.
+    rows + halo per level).  Accepts numpy or jnp input but always computes
+    with jnp and returns a DEVICE array ([n_tiles, local_cells]).
     Also the host-side oracle for what each mesh tile must hold (used by the
     true multi-process test, tests/_multiproc_worker.py)."""
     dense_maps = jnp.asarray(dense_maps)

@@ -139,12 +139,30 @@ def test_native_carmen_reader_bit_identical():
 
 
 def test_native_carmen_reader_rejects_garbage(tmp_path):
+    # no FLASER lines (e.g. a ROBOTLASER1-format log): native returns None so
+    # callers fall back to the Python reader (ADVICE r04)
     p = tmp_path / "empty.clf"
     p.write_text("# nothing here\nODOM 1 2 3 0 0 0 5 h 5\n")
-    with pytest.raises(ValueError):
-        hostio.read_carmen_native(str(p))
+    assert hostio.read_carmen_native(str(p)) is None
     q = tmp_path / "mixed.clf"
     q.write_text("FLASER 2 1.0 2.0 0 0 0 0 0 0 1 h 1\n"
                  "FLASER 3 1.0 2.0 3.0 0 0 0 0 0 0 2 h 2\n")
+    with pytest.raises(ValueError):
+        hostio.read_carmen_native(str(q))
+
+
+def test_native_carmen_reader_truth_and_truncation(tmp_path):
+    # stray extra '# TRUTH' line -> truths != scans -> no truth array (the
+    # Python twin's exact 1:1 contract); a truncated FLASER line errors
+    # instead of silently zero-filling (ADVICE r04)
+    p = tmp_path / "extra_truth.clf"
+    p.write_text("# TRUTH 0 0 0\n"
+                 "FLASER 2 1.0 2.0 0 0 0 0 0 0 1 h 1\n"
+                 "# TRUTH 1 1 0\n")
+    log = hostio.read_carmen_native(str(p))
+    if log is not None:                       # native lib present
+        assert log.truth is None
+    q = tmp_path / "truncated.clf"
+    q.write_text("FLASER 5 1.0 2.0\n")
     with pytest.raises(ValueError):
         hostio.read_carmen_native(str(q))
