@@ -79,6 +79,42 @@ def _match_batch(flat, cells, points, valid, hints, cfg: HectorConfig):
     else:
         X, Y, V = points[:, :, 0], points[:, :, 1], valid
 
+    if cfg.matcher_mode == "pallas":
+        # whole coarse-to-fine match per instance in ONE kernel, grid over
+        # the instance axis, per-instance tables VMEM-resident across all
+        # GN iterations (ops/pallas_onehot.make_pallas_match_batch; the
+        # XLA batched one-hot path re-materializes masks + selected planes
+        # through HBM every iteration).  Semantics: bf16 one-hot selection,
+        # identical per instance to hector matcher_mode="pallas".
+        if cfg.early_exit_tol > 0.0:
+            raise ValueError("matcher_mode='pallas' runs fixed iterations; "
+                             "early_exit_tol is unsupported (fleet already "
+                             "measured batch-wide early-exit as a loss)")
+        from ..ops import pallas_onehot
+        tables = pallas_onehot.prepare_tables_batch(flat, b, cfg)
+        # grid-over-instances kernel (bit-identical per instance to the
+        # single-instance pallas matcher).  MEASURED NULL RESULT vs the XLA
+        # batched one-hot at B=64 (docs/PERF.md round 5: 5.70 vs 5.29
+        # ms/batch-scan match-only; the G-packed sublane-stacking variant,
+        # make_pallas_match_packed, was 6.67) — the XLA batched matmuls are
+        # already at the structural cost floor, so sub4_onehot remains the
+        # serving default and this mode exists for parity/completeness.
+        fn = pallas_onehot.make_pallas_match_batch(
+            cfg, pad, b, interpret=jax.default_backend() != "tpu")
+        pose0 = jnp.concatenate([hints, jnp.zeros((b, 1), jnp.float32)],
+                                axis=1)
+        out = fn(*tables, X.reshape(b * pad, 1), Y.reshape(b * pad, 1),
+                 V.astype(jnp.float32).reshape(b * pad, 1), pose0)
+        poses = out[:, :3]
+        n_iters = sum(cfg.estimate_iterations[:cfg.num_levels])
+        n_valid = jnp.sum(V.astype(jnp.float32), axis=1)
+        stats = hector.MatchStats(
+            residual=out[:, 4] / jnp.maximum(out[:, 5], 1.0),
+            iterations=jnp.full(b, n_iters, jnp.int32),
+            solve_failures=out[:, 3].astype(jnp.int32),
+            in_map_frac=out[:, 5] / jnp.maximum(n_valid, 1.0))
+        return poses, stats
+
     estimate = hints
     any_valid = jnp.any(valid, axis=1)
     ox, oy = cfg.offset
@@ -145,7 +181,9 @@ def _match_batch(flat, cells, points, valid, hints, cfg: HectorConfig):
     poses = jnp.where(any_valid[:, None], estimate, hints)
     stats = hector.MatchStats(
         residual=resid_sum / jnp.maximum(n_in, 1.0),
-        iterations=jnp.broadcast_to(iters, (b,)), solve_failures=fails)
+        iterations=jnp.broadcast_to(iters, (b,)), solve_failures=fails,
+        in_map_frac=n_in / jnp.maximum(
+            jnp.sum(V.astype(jnp.float32), axis=1), 1.0))
     return poses, stats
 
 
@@ -163,6 +201,11 @@ def update_fleet(states: hector.HectorState, points, valid, cfg: HectorConfig,
     # vmapped matcher serializes per instance, ops/gn.fused_gn_iteration_batch)
     matched, mstats = _match_batch(states.maps, cells, points, valid,
                                    states.match_pose, cfg)
+    if cfg.min_match_in_map_frac > 0.0:
+        # reject matches resting on too few in-map beams (see hector.update)
+        matched = jnp.where(
+            (mstats.in_map_frac >= cfg.min_match_in_map_frac)[:, None],
+            matched, states.match_pose)
     if cfg.max_match_jump > 0.0:
         # reject physically-impossible per-scan jumps (degenerate-view solves)
         jump2 = jnp.sum((matched[:, :2] - states.match_pose[:, :2]) ** 2,

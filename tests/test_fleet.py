@@ -225,3 +225,84 @@ def test_fleet_onehot_matcher_identical_to_gather():
     np.testing.assert_array_equal(np.asarray(oh.match_pose),
                                   np.asarray(plain.match_pose))
     np.testing.assert_array_equal(np.asarray(oh.maps), np.asarray(plain.maps))
+
+
+def test_fleet_pallas_matcher_matches_per_instance_pallas():
+    # the batched Pallas matcher is a grid over instances reusing the
+    # single-instance kernel body with IDENTICAL block shapes, so each
+    # instance's match must be bit-for-bit the per-instance hector pallas
+    # match (interpret mode on CPU); the G-packed variant (kept as a
+    # measured null result, docs/PERF.md round 5) must agree to float
+    # summation order
+    import dataclasses
+    cfg = HectorConfig(num_levels=2, map_size=128, estimate_iterations=(5, 4),
+                       map_resolution=0.3125)
+    sim = SimConfig()
+    fld = default_field()
+    angles = jnp.asarray(lidar.revolution_angles(200))
+    starts = np.asarray([[20.0, 20.0, 0.0], [26.0, 12.0, 1.0],
+                         [12.0, 28.0, -0.7], [24.0, 28.0, 2.0]], np.float32)
+    b = starts.shape[0]
+    states = fleet.init_fleet(cfg, starts)
+    key = jax.random.PRNGKey(11)
+
+    def scans(key):
+        keys = jax.random.split(key, b)
+
+        def one(p, k):
+            return lidar.scan_revolution(fld, p, angles, sim.max_scan_dist,
+                                         sim.measure_error, k)
+        radii, valid = jax.vmap(one)(jnp.asarray(starts), keys)
+        pts = jnp.stack([radii * jnp.cos(angles)[None],
+                         radii * jnp.sin(angles)[None]], -1)
+        return pts, valid
+
+    for t in range(6):
+        key, sub = jax.random.split(key)
+        pts, valid = scans(sub)
+        states, _ = fleet.update_fleet(states, pts, valid, cfg,
+                                       map_without_matching=True)
+
+    key, sub = jax.random.split(key)
+    pts, valid = scans(sub)
+    pcfg = dataclasses.replace(cfg, matcher_mode="pallas", match_subsample=2)
+    hints = states.match_pose + jnp.asarray([[0.1, -0.05, 0.02]] * b,
+                                            jnp.float32)
+    poses_b, stats_b = fleet._match_batch(states.maps, fleet.fleet_cells(cfg),
+                                          pts, valid, hints, pcfg)
+    maps2d = states.maps.reshape(b, -1)
+    for i in range(b):
+        scan_i = Scan(pts[i], valid[i], jnp.zeros(3, jnp.float32))
+        pose_i, st_i = hector.match_with_stats(maps2d[i], scan_i, hints[i],
+                                               pcfg)
+        np.testing.assert_array_equal(np.asarray(poses_b[i]),
+                                      np.asarray(pose_i))
+        assert int(stats_b.solve_failures[i]) == int(st_i.solve_failures)
+
+    # and the full fleet step runs end-to-end with the pallas matcher
+    st2, info = fleet.update_fleet(states, pts, valid, pcfg)
+    assert np.isfinite(np.asarray(st2.match_pose)).all()
+
+    # the G-packed sublane-stacking variant (measured null result on TPU,
+    # kept with its writeup): same selection semantics, segment-matmul
+    # reductions — agrees to float summation order
+    from slamnet_tpu.ops import pallas_onehot
+    sub = pts[:, ::2]
+    vsub = valid[:, ::2]
+    pad = hector._lane_pad(sub.shape[1])
+    Xp = jnp.concatenate([sub[:, :, 0],
+                          jnp.zeros((b, pad - sub.shape[1]))], axis=1)
+    Yp = jnp.concatenate([sub[:, :, 1],
+                          jnp.zeros((b, pad - sub.shape[1]))], axis=1)
+    Vp = jnp.concatenate([vsub, jnp.zeros((b, pad - sub.shape[1]), bool)],
+                         axis=1)
+    tables = pallas_onehot.prepare_tables_batch(states.maps, b, pcfg)
+    fn = pallas_onehot.make_pallas_match_packed(pcfg, pad, b, g_pack=4,
+                                                interpret=True)
+    pose0 = jnp.concatenate([hints, jnp.zeros((b, 1))], axis=1)
+    outp = fn(*tables, Xp.reshape(-1, 1).astype(jnp.float32),
+              Yp.reshape(-1, 1).astype(jnp.float32),
+              Vp.astype(jnp.float32).reshape(-1, 1),
+              pose0.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(outp[:, :3]), np.asarray(poses_b),
+                               atol=2e-3)
