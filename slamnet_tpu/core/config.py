@@ -155,6 +155,17 @@ class HectorConfig(_Overlayable):
     # rates; the signature of a degenerate-view solve, README.md:39), the
     # match is REJECTED and the hint kept.  Bounds per-scan damage in
     # production serving; see docs/PERF.md fleet robustness notes.
+    min_match_in_map_frac: float = 0.0
+    # 0 (default): reference parity — a match is adopted however few beams
+    # landed inside the map.  > 0: robustness extension for worlds LARGER
+    # than the map (BASELINE north-star regime) and map-boundary transits:
+    # when fewer than this fraction of the matcher's valid beams fall inside
+    # map bounds (MatchStats.in_map_frac, last GN iteration), the match is
+    # rejected and the hint (odometry prior) kept — a half-out-of-map scan
+    # otherwise produces a degenerate one-sided solve that is WORSE than
+    # odometry (measured on the office-world bench, scripts/
+    # bench_office_graph.py).  ~0.5 recommended when the trajectory can
+    # leave the mapped region.
     gn_damping: float = 0.0
     # 0 (default): reference parity — raw Gauss-Newton solve.
     # > 0: Levenberg-style robustness extension — H's diagonal scaled by

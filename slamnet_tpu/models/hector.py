@@ -52,6 +52,10 @@ class MatchStats(NamedTuple):
     residual: jnp.ndarray        # f32 mean squared occupancy residual, finest level
     iterations: jnp.ndarray      # i32 total GN iterations executed (all levels)
     solve_failures: jnp.ndarray  # i32 iterations where the 3x3 solve failed
+    in_map_frac: jnp.ndarray     # f32 in-bounds fraction of valid matcher beams
+    #                              (last GN iteration, finest level) — the
+    #                              match-evidence signal behind the
+    #                              min_match_in_map_frac guard
 
 
 def init(cfg: HectorConfig, start_pose) -> HectorState:
@@ -179,10 +183,12 @@ def match_with_stats(state_maps: jnp.ndarray, scan: Scan,
         out = fn(*tables, X[:, None], Y[:, None],
                  valid.astype(jnp.float32)[:, None], pose0)[0]
         pose = out[:3]
+        n_valid = jnp.sum(valid.astype(jnp.float32))
         stats = MatchStats(
             residual=out[4] / jnp.maximum(out[5], 1.0),
             iterations=jnp.int32(sum(cfg.estimate_iterations[:cfg.num_levels])),
-            solve_failures=out[3].astype(jnp.int32))
+            solve_failures=out[3].astype(jnp.int32),
+            in_map_frac=out[5] / jnp.maximum(n_valid, 1.0))
         return pose, stats
 
     estimate = hint_pose_world
@@ -247,7 +253,9 @@ def match_with_stats(state_maps: jnp.ndarray, scan: Scan,
     # empty scan returns the hint (ScanMatcher.cs:82-83)
     pose = jnp.where(any_valid, estimate, hint_pose_world)
     stats = MatchStats(residual=resid_sum / jnp.maximum(n_in, 1.0),
-                       iterations=iters, solve_failures=fails)
+                       iterations=iters, solve_failures=fails,
+                       in_map_frac=n_in / jnp.maximum(
+                           jnp.sum(valid.astype(jnp.float32)), 1.0))
     return pose, stats
 
 
@@ -281,6 +289,12 @@ def update(state: HectorState, scan: Scan, pose_hint_world,
     force = jnp.asarray(map_without_matching)
 
     matched, mstats = match_with_stats(state.maps, scan, pose_hint_world, cfg)
+    if cfg.min_match_in_map_frac > 0.0:
+        # production robustness (worlds larger than the map): a match
+        # resting on too few in-map beams is a one-sided degenerate solve —
+        # reject it, keep the odometry hint (core/config.py docstring)
+        matched = jnp.where(mstats.in_map_frac >= cfg.min_match_in_map_frac,
+                            matched, pose_hint_world)
     if cfg.max_match_jump > 0.0:
         # production robustness: a physically-impossible per-scan jump is a
         # degenerate-view solve — reject the match, keep the hint

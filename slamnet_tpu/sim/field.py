@@ -64,6 +64,44 @@ def default_field(scale: float = 30.0, offset: Tuple[float, float] = (5.0, 5.0))
     return make_field([OUTER_VERTICES, INNER_VERTICES], scale, offset)
 
 
+def _slab(x0: float, x1: float, y0: float, y1: float) -> np.ndarray:
+    """Axis-aligned wall slab as a closed polygon."""
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float32)
+
+
+# Office wall geometry (meters).  Room A = [W0, C1] x [W0, C1] sits inside a
+# 20 m Hector map ([0, 20] at map_size=200, resolution 0.1) with >1 m margin
+# so bootstrap mapping never cuts a wall at the map boundary; rooms B/C/D lie
+# OUTSIDE that map — the world outruns it by design.
+OFFICE_OUTER = (0.5, 36.5)       # outer wall span
+OFFICE_CROSS = (18.3, 18.7)      # cross-wall slab faces (0.4 m thick)
+OFFICE_DOORS = (7.5, 10.5, 26.5, 29.5)   # two 3 m door spans per wall
+
+
+def office_field() -> Field:
+    """Four ~18 m rooms joined by 3 m doorways — the loop-closure benchmark
+    world (VERDICT r04 item 3; built from arbitrary polygons via make_field,
+    the capability the reference's fixed Field.cs:45-69 world lacks).
+
+    The world spans ~36 m while the benchmark Hector map covers 20 m, so a
+    room tour OUTRUNS the map: scan-to-map tracking (which in a persistent
+    global map acts as implicit loop closure — measured net-neutral
+    docs/PERF.md) gets no purchase in rooms B/C/D, and explicit pose-graph
+    loop closures against stored keyframe scans are the only mechanism that
+    can correct the accumulated odometry drift.  Room A (the start) is fully
+    inside the map with margin; see scripts/bench_office_graph.py."""
+    w0, w1 = OFFICE_OUTER
+    c0, c1 = OFFICE_CROSS
+    d0a, d0b, d1a, d1b = OFFICE_DOORS
+    return make_field([
+        np.array([[w0, w0], [w1, w0], [w1, w1], [w0, w1]], np.float32),
+        _slab(w0, d0a, c0, c1), _slab(d0b, d1a, c0, c1),
+        _slab(d1b, w1, c0, c1),
+        _slab(c0, c1, w0, d0a), _slab(c0, c1, d0b, d1a),
+        _slab(c0, c1, d1b, w1),
+    ], 1.0, (0.0, 0.0))
+
+
 def ray_cast(field: Field, origin, angles, max_dist) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cast rays from `origin` f32[2] at `angles` f32[R]; return (hit bool[R], dist f32[R]).
 

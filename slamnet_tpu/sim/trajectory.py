@@ -132,6 +132,49 @@ def rect_drive_trajectory(rect=((20.0, 20.0), (22.0, 20.0),
     return np.asarray(poses, np.float32)
 
 
+def waypoint_drive_trajectory(waypoints, step: float = 0.25,
+                              turn_step: float = math.radians(10.0)) -> np.ndarray:
+    """Drive an arbitrary open waypoint path: straight legs at `step` m/scan,
+    heading changes rotated IN PLACE at `turn_step` rad/scan (each motion
+    mode stays inside Hector's envelope — the generalization of
+    rect_drive_trajectory to any route)."""
+    pts = [np.asarray(p, np.float64) for p in waypoints]
+    poses = []
+    heading = 0.0
+    pos = pts[0].copy()
+    for target in pts[1:]:
+        d = target - pos
+        target_heading = math.atan2(d[1], d[0])
+        dh = (target_heading - heading + math.pi) % (2 * math.pi) - math.pi
+        while abs(dh) > 1e-6:
+            turn = float(np.clip(dh, -turn_step, turn_step))
+            heading += turn
+            poses.append([pos[0], pos[1], heading])
+            dh -= turn
+        dist = float(np.hypot(*d))
+        n_steps = max(1, int(round(dist / step)))
+        for s in range(1, n_steps + 1):
+            p = pos + d * (s / n_steps)
+            poses.append([p[0], p[1], heading])
+        pos = target.copy()
+    return np.asarray(poses, np.float32)
+
+
+def office_tour_trajectory(num_loops: int = 2, step: float = 0.25) -> np.ndarray:
+    """Room tour of sim/field.office_field: A -> B -> C -> D -> A through the
+    door centers, `num_loops` laps, ending back inside room A — the
+    loop-closure benchmark route (the tour leaves the 20 m benchmark map for
+    ~3/4 of each lap, so drift accumulates on the odometry prior until the
+    pose graph closes the loop; scripts/bench_office_graph.py)."""
+    a, b = (9.5, 9.5), (27.5, 9.5)
+    c, d = (27.5, 27.5), (9.5, 27.5)
+    d_ab, d_bc = (18.5, 9.0), (28.0, 18.5)
+    d_cd, d_da = (18.5, 28.0), (9.0, 18.5)
+    lap = [d_ab, b, d_bc, c, d_cd, d, d_da, a]
+    return waypoint_drive_trajectory([a] + lap * num_loops + [(12.5, 12.5)],
+                                     step=step)
+
+
 def spin_trajectory(pose=(20.0, 20.0, 0.0), turn_rate: float = math.radians(40.0),
                     scan_rate: float = 17.0, num_scans: int = 150) -> np.ndarray:
     """Rotate in place at turn_rate rad/s (inside the ~20 deg/scan envelope)."""
