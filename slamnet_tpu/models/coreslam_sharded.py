@@ -142,30 +142,36 @@ def _correlative_scores_local(local_hole, size, rows_m, tile, srank, scale,
                      preferred_element_type=jnp.float32).reshape(
         kloc, band_h * spad)
 
+    # separable in-bounds counts (the round-5 dense-kernel restructuring,
+    # ops/correlate.correlative_scores): a box condition per point, complete
+    # LOCALLY from this shard's theta bins — no map planes, no psum
+    dshift = jnp.arange(window, dtype=xb.dtype) - R
+    rowok = (ok[:, :, None] & ((yb[:, :, None] + dshift) >= 0)
+             & ((yb[:, :, None] + dshift) < size)).astype(jnp.float32)
+    colok = (((xb[:, :, None] + dshift) >= 0)
+             & ((xb[:, :, None] + dshift) < size)).astype(jnp.float32)
+    nb = jnp.einsum("knw,knv->kwv", rowok, colok,
+                    preferred_element_type=jnp.float32).astype(
+        jnp.int32).reshape(kloc, window * window)
+
     # shift planes from THIS tile's owned rows only (q rows [m0+2R,
     # m0+rows_m+2R) = plane rows [window-1, window-1+rows_m))
     qh = jnp.zeros((band_h + window - 1, size + 4 * R), jnp.int32)
     qh = jax.lax.dynamic_update_slice(qh, local_hole.reshape(rows_m, size),
                                       (window - 1, 2 * R))
-    mh = jnp.zeros((band_h + window - 1, size + 4 * R), jnp.float32)
-    mh = jax.lax.dynamic_update_slice(
-        mh, jnp.ones((rows_m, size), jnp.float32), (window - 1, 2 * R))
-    shifts, masks = [], []
+    shifts = []
     for dy in range(window):
         for dx in range(window):
             shifts.append(qh[dy:dy + band_h, dx:dx + spad].reshape(-1))
-            masks.append(mh[dy:dy + band_h, dx:dx + spad].reshape(-1))
     hs = jnp.stack(shifts)                          # i32 [W*W, band_h*spad]
-    ms = jnp.stack(masks)
 
     w2 = window * window
     big = jnp.concatenate([(hs >> 8).astype(jnp.float32),
-                           (hs & 0xFF).astype(jnp.float32),
-                           ms], axis=0)             # [3*W*W, band_h*spad]
+                           (hs & 0xFF).astype(jnp.float32)],
+                          axis=0)                   # [2*W*W, band_h*spad]
     out = jnp.dot(cnt, big.T, preferred_element_type=jnp.float32)
     out = jax.lax.psum(out, tile_axis)              # exact: plane sums < 2^24
     sums = (256.0 * out[:, :w2] + out[:, w2:2 * w2]).astype(jnp.int32)
-    nb = out[:, 2 * w2:].astype(jnp.int32)
     eff = jnp.where(nb > 0, sums, CINT32_MAX)
     return eff.reshape(kloc, window, window)
 

@@ -83,36 +83,44 @@ def correlative_scores(hole_map_flat: jnp.ndarray, size: int, scale: float,
                      preferred_element_type=jnp.float32).reshape(
         K, spad * spad)
 
+    # in-bounds candidate counts WITHOUT map-plane traffic (round 5, +72%
+    # pipeline throughput): a shifted candidate's in-bounds test is a box
+    # condition SEPARABLE per point — (0 <= yb+dy' < size) AND
+    # (0 <= xb+dx' < size) — so nb is one einsum over tiny [K, N, W]
+    # row/column masks instead of W*W materialized mask planes (which were a
+    # third of the ~54 MB/scan shifted-plane operand).  Exact: each point
+    # contributes exactly 1.0; sums < 2^24.
+    dshift = jnp.arange(window, dtype=xb.dtype) - R
+    rowok = (ok[:, :, None] & ((yb[:, :, None] + dshift) >= 0)
+             & ((yb[:, :, None] + dshift) < size)).astype(jnp.float32)
+    colok = (((xb[:, :, None] + dshift) >= 0)
+             & ((xb[:, :, None] + dshift) < size)).astype(jnp.float32)
+    nb = jnp.einsum("knw,knv->kwv", rowok, colok,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+
     # shifted hole-map copies from the doubly-padded plane (zeros outside)
     q = jnp.zeros((size + 4 * R, size + 4 * R), jnp.int32)
     q = jax.lax.dynamic_update_slice(q, hole_map_flat.reshape(size, size),
                                      (2 * R, 2 * R))
-    ones = jnp.zeros((size + 4 * R, size + 4 * R), jnp.float32)
-    ones = jax.lax.dynamic_update_slice(
-        ones, jnp.ones((size, size), jnp.float32), (2 * R, 2 * R))
-    shifts, masks = [], []
+    shifts = []
     for dy in range(window):
         for dx in range(window):
             shifts.append(jax.lax.dynamic_slice(
                 q, (dy, dx), (spad, spad)).reshape(-1))
-            masks.append(jax.lax.dynamic_slice(
-                ones, (dy, dx), (spad, spad)).reshape(-1))
     hs = jnp.stack(shifts)                          # i32 [W*W, spad*spad]
-    ms = jnp.stack(masks)                           # f32 [W*W, spad*spad]
 
     # integer-exact f32 matmul via 8-bit planes (hi*256 + lo; partial sums
-    # stay < 2^17 * N, well inside the f32 24-bit integer range).  The three
-    # score planes (hi, lo, in-bounds mask) are stacked into ONE [3*W*W, ...]
-    # operand so the MXU sees a single [K, spad^2] x [spad^2, 3*W*W] matmul:
-    # one pass over the big loop-variant operand instead of three, and an
-    # output width of 192 that fills the 128-lane tiles (vs 64).
+    # stay < 2^17 * N, well inside the f32 24-bit integer range; bf16 MXU
+    # rounding cannot touch 8-bit-plane integers).  Both planes stacked into
+    # ONE [2*W*W, ...] operand: one pass over the big loop-variant operand.
+    # (A lax.conv cross-correlation formulation was measured SLOWER: 1317 vs
+    # 2704 scans/s pipeline, and 50 at HIGHEST precision —
+    # scripts/bench_correlate_variants.py.)
     w2 = window * window
     big = jnp.concatenate([(hs >> 8).astype(jnp.float32),
-                           (hs & 0xFF).astype(jnp.float32),
-                           ms], axis=0)                    # [3*W*W, spad*spad]
-    out = jnp.dot(cnt, big.T, preferred_element_type=jnp.float32)  # [K, 3*W*W]
+                           (hs & 0xFF).astype(jnp.float32)], axis=0)
+    out = jnp.dot(cnt, big.T, preferred_element_type=jnp.float32)  # [K, 2*W*W]
     sums = (256.0 * out[:, :w2] + out[:, w2:2 * w2]).astype(jnp.int32)
-    nb = out[:, 2 * w2:].astype(jnp.int32)
     return (sums.reshape(K, window, window), nb.reshape(K, window, window))
 
 
