@@ -25,9 +25,11 @@ def main():
     ap.add_argument("--platform", choices=["tpu", "cpu"], default="tpu")
     ap.add_argument("--capacities", default="8,16,32,0",
                     help="comma list; 0 = uncapped (the default config)")
-    ap.add_argument("--damping", type=float, default=0.0,
-                    help="gn_damping (Levenberg diag scaling; ~0.1 "
-                         "recommended for production serving)")
+    ap.add_argument("--damping", type=float, default=0.1,
+                    help="gn_damping (Levenberg diag scaling; the serving "
+                         "profile default — core/config.py "
+                         "serving_hector_config; pass 0 for the raw "
+                         "reference-parity solve)")
     args = ap.parse_args()
 
     import os
@@ -49,10 +51,8 @@ def main():
     from slamnet_tpu.sim import default_field, lidar
     from slamnet_tpu.sim.trajectory import loop_trajectory
 
-    base = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4),
-                        xy_step_clamp_px=10.0, max_match_jump=1.0,
-                        match_subsample=4, matcher_mode="onehot_bf16",
-                        gn_damping=args.damping)
+    from slamnet_tpu.core.config import serving_hector_config
+    base = serving_hector_config(gn_damping=args.damping)
     sim = SimConfig()
     B, T = args.batch, args.scans
     boot = 10

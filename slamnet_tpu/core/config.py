@@ -107,11 +107,23 @@ class HectorConfig(_Overlayable):
     # False (default): reference-parity Bresenham-line free marking.
     # True: scatter-free dense polygon fill (ops/logodds.update_occupancy_dense)
     # — 10-20x faster map updates, denser free evidence; use for fleet/mapping-
-    # heavy workloads (documented semantic difference).  NOT for partial-FoV
-    # sensors: the polygon fill assumes full-revolution coverage; on a
-    # 180-degree log the free evidence lands wrong and tracking degrades 6x
-    # (measured 0.034 -> 0.207 m rms on examples/data/adversarial_180.clf,
-    # docs/PERF.md) — keep line mode for front-facing lidars.
+    # heavy workloads (documented semantic difference).  Uncovered angular
+    # sectors are never marked free (empty polar bins stay at range 0), so
+    # partial-FoV sensors are handled; the round-4 "6x worse on the
+    # 180-degree log" finding was actually WALL EROSION from a zero free
+    # margin, fixed by dense_free_margin_px (see below): 0.208 -> 0.038 m
+    # rms at the default margin (line mode: 0.034; max err 0.065 vs line's
+    # 0.234), and 0.015 at margin 2.0 (docs/PERF.md).
+    dense_free_margin_px: float = 0.75
+    # Moat of unmarked cells the dense fill leaves in front of each measured
+    # range (per-level pixels).  0.5 (the round-4 behavior) lets range noise
+    # repeatedly paint free over wall neighbors until walls erode to a
+    # one-cell ridge; a slipped odometry hint then locks onto a false
+    # minimum (measured on adversarial_180.clf: 0.208 m rms at 0.5 vs 0.038
+    # at 0.75 / 0.015 at 2.0).  The default is the largest value that holds
+    # the CLEAN bench's strict ATE gate (margin sweep, docs/PERF.md round
+    # 5): clean ATE 0.002082 at 0.75 (fixed-mode 0.002109) vs 0.00223+ at
+    # >= 1.25.  Degraded-sensor deployments should raise it to 1.5-2.0.
     early_exit_tol: float = 0.0
     # 0 (default): the reference's fixed per-level iteration counts.
     # > 0: stop a level's GN iterations once the step norm (map pixels /
@@ -302,6 +314,34 @@ class PoseGraphConfig(_Overlayable):
     # whitened-residual scale of the redescending DCS kernel (posegraph.
     # robust_scale) — a surviving false loop loses its influence entirely
     huber_delta: float = 0.0
+
+
+def serving_hector_config(**overrides) -> "HectorConfig":
+    """The production FLEET-SERVING profile — every knob picked from a
+    measured ablation (docs/PERF.md fleet sections), so deployments start
+    from the data instead of re-deriving it:
+
+    - ``match_subsample=4`` + ``matcher_mode="onehot_bf16"``: the measured
+      serving point (B=64: 2394 -> ~5050 instance-scans/s inside the bench's
+      2x ATE gate; the Pallas batched matcher measured a null result here);
+    - ``xy_step_clamp_px=10`` + ``max_match_jump=1.0``: bound the damage of
+      degenerate-view solves (unrecoverable off-map excursions otherwise);
+    - ``gn_damping=0.1``: at the T=256 uncapped serving horizon this halves
+      worst-case excursions (max 3.97 -> 1.78 m) at NO median-instance cost
+      (0.0051 -> 0.0049) — the round-4 capacity ablation's conclusion,
+      encoded as the default it recommended (VERDICT r04 item 6);
+    - update capacity UNCAPPED (the HectorConfig default): budget deferral
+      compounds map-staleness error ~20x on the median instance for ~25%
+      throughput.
+
+    keyword overrides are applied on top (e.g. ``num_levels``/``map_size``
+    for a different pyramid).
+    """
+    base = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4),
+                        match_subsample=4, matcher_mode="onehot_bf16",
+                        xy_step_clamp_px=10.0, max_match_jump=1.0,
+                        gn_damping=0.1)
+    return dataclasses.replace(base, **overrides) if overrides else base
 
 
 @dataclass(frozen=True)

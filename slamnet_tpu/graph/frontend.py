@@ -34,6 +34,13 @@ class ScanMatchConfig(NamedTuple):
     # build is a serialized ~B*len-cell scatter otherwise — the dominant cost
     # of a keyframe event, docs/PERF.md)
     dense_fill: bool = False
+    free_margin_px: float = 0.5
+    # dense-fill free margin for the LOCAL grid.  Stays at the pre-round-5
+    # value: the wall-erosion mechanism behind HectorConfig.
+    # dense_free_margin_px needs REPEATED noisy updates of one map, and a
+    # loop-closure grid is rasterized from a single scan — no erosion, and
+    # the round-4 closure behavior (ATE 0.0067-0.0074 on the graph bench)
+    # was measured with this margin.
 
 
 class MatchQuality(NamedTuple):
@@ -55,8 +62,12 @@ def rasterize_scan(scan: Scan, cfg: ScanMatchConfig) -> jnp.ndarray:
     s = cfg.grid_size
     center = jnp.asarray([s // 2 * cfg.resolution, s // 2 * cfg.resolution, 0.0])
     grid = jnp.zeros((s * s,), jnp.float32)
-    fill = (logodds.update_occupancy_dense if cfg.dense_fill
-            else logodds.update_occupancy)
+    if cfg.dense_fill:
+        import functools
+        fill = functools.partial(logodds.update_occupancy_dense,
+                                 free_margin_px=cfg.free_margin_px)
+    else:
+        fill = logodds.update_occupancy
     return fill(
         grid, s, scan.points, scan.valid, center, scan.pose[:2],
         1.0 / cfg.resolution, cfg.log_odds_free, cfg.log_odds_occupied)

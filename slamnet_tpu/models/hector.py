@@ -265,8 +265,12 @@ def update_maps(state_maps: jnp.ndarray, scan: Scan,
     independently from the raw scan.  The static per-level slices unroll at trace
     time; XLA schedules the data-independent level updates concurrently (the
     reference's Parallel.ForEach for free)."""
-    fn = (logodds.update_occupancy_dense if cfg.dense_free_fill
-          else logodds.update_occupancy)
+    if cfg.dense_free_fill:
+        import functools
+        fn = functools.partial(logodds.update_occupancy_dense,
+                               free_margin_px=cfg.dense_free_margin_px)
+    else:
+        fn = logodds.update_occupancy
     out = []
     for level in range(cfg.num_levels):
         width = cfg.level_sizes[level]

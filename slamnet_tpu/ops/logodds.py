@@ -79,7 +79,8 @@ def update_occupancy_dense(logodds_flat: jnp.ndarray, width: int,
                            scan_pose: jnp.ndarray, scale_to_map: float,
                            log_odds_free: float, log_odds_occupied: float,
                            occupied_cap: float = 50.0,
-                           angle_bins: int = 256) -> jnp.ndarray:
+                           angle_bins: int = 256,
+                           free_margin_px: float = 0.75) -> jnp.ndarray:
     """Scatter-free occupancy update: free space as a dense polygon fill.
 
     XLA's TPU scatter serializes (docs/PERF.md), which dominates mapping-heavy
@@ -89,7 +90,8 @@ def update_occupancy_dense(logodds_flat: jnp.ndarray, width: int,
       1. scatter the B beam ranges into an `angle_bins` polar range table
          (a B-point scatter — cheap);
       2. for EVERY cell compute (range, angle) to the robot and mark it free iff
-         its range is under the table entry for its angle bin — pure dense VPU.
+         its range is under the table entry for its angle bin minus
+         `free_margin_px` — pure dense VPU.
 
     SEMANTIC DIFFERENCE vs the reference (documented, opt-in): beam lines mark
     only the ~B*len cells ON the Bresenham lines; the dense fill marks the whole
@@ -97,6 +99,19 @@ def update_occupancy_dense(logodds_flat: jnp.ndarray, width: int,
     cells out) also receive free evidence.  Occupied endpoints are identical.
     Matching quality is equal or better (denser evidence); parity tests use the
     line mode.
+
+    `free_margin_px` (WALL-EROSION GUARD, round 5): the dense fill paints free
+    up to the measured range EVERY update in the whole sector, so with range
+    noise the cells around a wall are repeatedly freed and walls erode to a
+    one-cell ridge with strongly-free neighbors — the matcher's convergence
+    basin narrows, and one bad hint (an odometry slip) locks onto a false
+    minimum it never leaves.  Measured on the adversarial 180-degree log
+    (slips + dropout, docs/PERF.md): margin 0.5 px -> 0.208 m rms (6x worse
+    than line mode); 0.75 (default) -> 0.038; 1.5 -> 0.021; 2.0 -> 0.015.
+    The default is the largest value holding the CLEAN bench's strict ATE
+    gate (margin sweep, docs/PERF.md round 5); raise to 1.5-2.0 for
+    degraded sensors.  The margin leaves a moat of unknown cells in front
+    of measured surfaces instead of freeing them.
     """
     theta = robot_pose_world[2]
     c, s = jnp.cos(theta), jnp.sin(theta)
@@ -138,7 +153,7 @@ def update_occupancy_dense(logodds_flat: jnp.ndarray, width: int,
     cbin = jnp.clip(((cang + jnp.pi) * (angle_bins / (2.0 * jnp.pi)))
                     .astype(jnp.int32), 0, angle_bins - 1)
     r_lim = jnp.take(table, cbin)
-    is_free_img = (r_cell < r_lim - 0.5) & (r_cell > 0.0)
+    is_free_img = (r_cell < r_lim - free_margin_px) & (r_cell > 0.0)
 
     # occupied endpoints: a B-point scatter (cheap)
     end_flat = eyi * width + exi

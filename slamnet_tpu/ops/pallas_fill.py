@@ -35,7 +35,7 @@ SUBLANES = 8
 
 def _fill_kernel(scalars_ref, table_ref, occ_ref, maps_ref, out_ref, *,
                  width: int, angle_bins: int, lof: float, loo: float,
-                 cap: float):
+                 cap: float, margin: float):
     """One [8, Wp] row block: free-test every cell against the polar table."""
     bx = scalars_ref[0]
     by = scalars_ref[1]
@@ -76,7 +76,7 @@ def _fill_kernel(scalars_ref, table_ref, occ_ref, maps_ref, out_ref, *,
                                  (jnp.zeros_like(r_cell), cross0))
 
     is_occ = occ_ref[:] > 0
-    is_free = (r_cell < r_lim - 0.5) & (r_cell > 0.0) & ~is_occ & any_beam
+    is_free = (r_cell < r_lim - margin) & (r_cell > 0.0) & ~is_occ & any_beam
     v = maps_ref[:]
     out_ref[:] = (v + jnp.where(is_free, lof, 0.0)
                   + jnp.where(is_occ & (v < cap), loo, 0.0))
@@ -87,7 +87,8 @@ def polar_fill_pallas(logodds_flat: jnp.ndarray, width: int,
                       robot_px: jnp.ndarray, any_beam: jnp.ndarray,
                       log_odds_free: float, log_odds_occupied: float,
                       occupied_cap: float = 50.0,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      free_margin_px: float = 0.75) -> jnp.ndarray:
     """Fused dense polar fill.
 
     logodds_flat f32[width*width]; table f32[A] per-bin min beam range (px,
@@ -106,7 +107,8 @@ def polar_fill_pallas(logodds_flat: jnp.ndarray, width: int,
 
     kernel = functools.partial(_fill_kernel, width=width,
                                angle_bins=angle_bins, lof=log_odds_free,
-                               loo=log_odds_occupied, cap=occupied_cap)
+                               loo=log_odds_occupied, cap=occupied_cap,
+                               margin=free_margin_px)
     out = pl.pallas_call(
         kernel,
         grid=(hp // SUBLANES,),
@@ -134,7 +136,8 @@ def update_occupancy_dense_pallas(logodds_flat: jnp.ndarray, width: int,
                                   log_odds_occupied: float,
                                   occupied_cap: float = 50.0,
                                   angle_bins: int = 256,
-                                  interpret: bool = False) -> jnp.ndarray:
+                                  interpret: bool = False,
+                                  free_margin_px: float = 0.75) -> jnp.ndarray:
     """Drop-in twin of ops.logodds.update_occupancy_dense with the dense pass
     as a Pallas kernel.  The beam-side prep (range table + endpoint scatter,
     both B-point work) stays XLA."""
@@ -174,4 +177,4 @@ def update_occupancy_dense_pallas(logodds_flat: jnp.ndarray, width: int,
         logodds_flat, width, table, occ,
         jnp.stack([bxi.astype(jnp.float32), byi.astype(jnp.float32)]),
         jnp.any(beam_ok), log_odds_free, log_odds_occupied, occupied_cap,
-        interpret=interpret)
+        interpret=interpret, free_margin_px=free_margin_px)

@@ -306,3 +306,37 @@ def test_fleet_pallas_matcher_matches_per_instance_pallas():
               pose0.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(outp[:, :3]), np.asarray(poses_b),
                                atol=2e-3)
+
+
+def test_serving_profile_encodes_measured_defaults():
+    # the fleet-serving profile is the measured ablation's conclusion
+    # (docs/PERF.md; VERDICT r04 item 6): damping on, guards on, sub4 +
+    # one-hot matcher, uncapped updates
+    from slamnet_tpu.core import serving_hector_config
+    cfg = serving_hector_config()
+    assert cfg.gn_damping == 0.1
+    assert cfg.xy_step_clamp_px == 10.0
+    assert cfg.max_match_jump == 1.0
+    assert cfg.match_subsample == 4
+    assert cfg.matcher_mode == "onehot_bf16"
+    assert cfg.fleet_update_capacity >= 1 << 20      # uncapped
+    # overrides compose
+    c2 = serving_hector_config(num_levels=2, map_size=128)
+    assert c2.num_levels == 2 and c2.gn_damping == 0.1
+    # and a fleet actually runs with it (tiny smoke)
+    import dataclasses
+    small = serving_hector_config(num_levels=2, map_size=64,
+                                  map_resolution=0.625, match_subsample=1,
+                                  estimate_iterations=(3, 3))
+    states = fleet.init_fleet(small, np.asarray([[20.0, 20.0, 0.0],
+                                                 [22.0, 18.0, 0.5]],
+                                                np.float32))
+    n = 100
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False).astype(np.float32)
+    r = np.full(n, 8.0, np.float32)
+    pts = np.stack([r * np.cos(ang), r * np.sin(ang)], -1)
+    pts = np.broadcast_to(pts, (2, n, 2))
+    sts, _ = fleet.update_fleet(states, jnp.asarray(pts),
+                                jnp.ones((2, n), bool), small,
+                                map_without_matching=True)
+    assert np.isfinite(np.asarray(sts.match_pose)).all()
