@@ -397,12 +397,14 @@ def bench_office():
 
     _, h_track = replay_hector(hector.init(hcfg, traj[0]), radii, valids,
                                force, deltas_d, odo_d)
-    t0 = time.time()
-    stf, (g_track, kf_flags) = replay_graph(
-        graph_slam.init(hcfg, gcfg, traj[0], n_beams), radii, valids, force,
-        deltas_d, odo_d)
-    import jax as _jax
-    _jax.block_until_ready(stf)
+    g0 = graph_slam.init(hcfg, gcfg, traj[0], n_beams)
+    stf, (g_track, kf_flags) = replay_graph(g0, radii, valids, force,
+                                            deltas_d, odo_d)
+    jax.block_until_ready(stf)
+    t0 = time.time()           # second call: warmed (no compile)
+    stf, (g_track, kf_flags) = replay_graph(g0, radii, valids, force,
+                                            deltas_d, odo_d)
+    jax.block_until_ready(stf)
     g_secs = time.time() - t0
 
     he = np.linalg.norm(np.asarray(h_track)[:, :2] - traj[:, :2], axis=1)
