@@ -27,8 +27,12 @@ def main():
                     choices=["coreslam", "hector", "particle", "graph", "both",
                              "all"],
                     default="coreslam")
-    ap.add_argument("--trajectory", choices=["loop", "stationary", "spin"],
-                    default="loop")
+    ap.add_argument("--trajectory",
+                    choices=["loop", "stationary", "spin", "office"],
+                    default="loop",
+                    help="'office' drives the multi-room office world "
+                         "(sim/field.office_field) instead of the default "
+                         "field — the loop-closure benchmark scenario")
     ap.add_argument("--speed", type=float, default=0.3)
     ap.add_argument("--candidates", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=0)
@@ -58,13 +62,18 @@ def main():
     from slamnet_tpu.sim import trajectory as trj
 
     sim = SimConfig()
-    fld = default_field()
+    if args.trajectory == "office":
+        from slamnet_tpu.sim.field import office_field
+        fld = office_field()
+    else:
+        fld = default_field()
     angles = jnp.asarray(lidar.revolution_angles(sim.num_scan_points))
 
     traj = {
         "loop": lambda: trj.loop_trajectory(speed=args.speed),
         "stationary": lambda: trj.stationary_trajectory(num_scans=args.scans),
         "spin": lambda: trj.spin_trajectory(num_scans=args.scans),
+        "office": lambda: trj.office_tour_trajectory(num_loops=1),
     }[args.trajectory]()[: args.scans]
     print(f"trajectory: {args.trajectory}, {traj.shape[0]} scans @ {sim.scans_per_second} Hz")
 
@@ -147,6 +156,10 @@ def main():
                 dropout_prob=args.dropout)
             pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
             cloud = Scan(pts, valid, jnp.zeros(3, jnp.float32))
+            # bootstrap maps at the TRUE pose (see the hector step)
+            state = state._replace(hector=state.hector._replace(
+                match_pose=jnp.where(boot, real_pose,
+                                     state.hector.match_pose)))
             return graph_slam.update(state, cloud, hcfg, gcfg,
                                      map_without_matching=boot)
 
@@ -185,7 +198,12 @@ def main():
                 dropout_prob=args.dropout)
             pts = jnp.stack([radii * jnp.cos(angles), radii * jnp.sin(angles)], -1)
             cloud = Scan(pts, valid, jnp.zeros(3, jnp.float32))
-            return hector.update(state, cloud, state.match_pose, hcfg,
+            # bootstrap scans map at the TRUE pose (the bench-harness
+            # pattern): a moving robot would otherwise rasterize its first
+            # scans at a frozen pose and corrupt the map (fatal for the
+            # office tour's 0.25 m/scan start)
+            hint = jnp.where(bootstrap, real_pose, state.match_pose)
+            return hector.update(state, cloud, hint, hcfg,
                                  map_without_matching=bootstrap)
 
         # first-class observability: structured per-scan records, the ring
