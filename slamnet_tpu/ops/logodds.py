@@ -152,7 +152,19 @@ def update_occupancy_dense(logodds_flat: jnp.ndarray, width: int,
     cang = jnp.arctan2(dy, dx)
     cbin = jnp.clip(((cang + jnp.pi) * (angle_bins / (2.0 * jnp.pi)))
                     .astype(jnp.int32), 0, angle_bins - 1)
-    r_lim = jnp.take(table, cbin)
+    if jax.default_backend() == "tpu":
+        # table[cbin] as a select sweep over the (tiny, static) bin axis:
+        # XLA's TPU gather serializes per element (~130M elem/s -> ~1.6 ms
+        # for a 400-px pyramid level), while 256 whole-image compare+selects
+        # are plain VPU passes (identical values; round-5, measured 1818 ->
+        # ~250 us per 400x400 update, docs/PERF.md)
+        def pick(k, acc):
+            return jnp.where(cbin == k, table[k], acc)
+
+        r_lim = jax.lax.fori_loop(0, angle_bins, pick,
+                                  jnp.zeros_like(r_cell))
+    else:
+        r_lim = jnp.take(table, cbin)       # CPU: gather is the fast path
     is_free_img = (r_cell < r_lim - free_margin_px) & (r_cell > 0.0)
 
     # occupied endpoints: a B-point scatter (cheap)
