@@ -1,10 +1,11 @@
 """Pallas dense polar occupancy fill — the deployable TPU kernel.
 
 The scatter-free dense fill (ops/logodds.update_occupancy_dense) is the right
-formulation for mapping-heavy workloads, but its XLA lowering is dominated by
-the per-cell ``table[cbin]`` gather ([W*W] indices into a 256-entry polar range
-table), which TPU XLA serializes (docs/PERF.md: the dense fill LOST to the
-line scatter in fleet mode because of this gather).
+formulation for mapping-heavy workloads; its XLA lowering was originally
+dominated by the per-cell ``table[cbin]`` gather, which TPU XLA serializes.
+Round 5 removed that wall IN XLA (the one-hot MXU lookup: 1818 -> 344 us per
+400x400 update, docs/PERF.md), so this kernel is now purely the
+deployable-Pallas baseline/reference — the production path is the XLA fill.
 
 This kernel fuses the ENTIRE fill — per-cell polar geometry, the range-table
 lookup, the free test, and the log-odds apply — into one VMEM-resident pass:
