@@ -497,12 +497,19 @@ def bench_fleet(radii, valids, angles, traj, single_rate):
     # adds the capped-budget trade rows
     mode_cfgs = [
         ("sub1", base),
-        ("sub4_onehot", dataclasses.replace(
-            base, match_subsample=4, matcher_mode="onehot_bf16")),
+        ("sub4_onehot_dense", dataclasses.replace(
+            base, match_subsample=4, matcher_mode="onehot_bf16",
+            dense_free_fill=True)),
     ]
     if _ALL_MODES:
         mode_cfgs[1:1] = [
-            ("sub4", dataclasses.replace(base, match_subsample=4))]
+            ("sub4", dataclasses.replace(base, match_subsample=4)),
+            # the r03-r04 headline; line-mode fills (the round-2 "dense
+            # loses in fleet" advice predates the one-hot fill lookup +
+            # wall-erosion margin — round 5 measured dense 2.3x faster at
+            # 5x better max error, docs/PERF.md)
+            ("sub4_onehot", dataclasses.replace(
+                base, match_subsample=4, matcher_mode="onehot_bf16"))]
         # the round-2 throughput point: a deferring update budget buys
         # ~25% throughput at ~25x the median-instance ATE (the dominant
         # fleet accuracy cost, docs/PERF.md round-3) — kept as the
@@ -724,8 +731,6 @@ def bench_particle(radii, valids, angles, traj, n_scans, bootstrap,
     base = ParticleConfig()                      # 8192 particles, top-64
 
     def run_mode_with(pcfg, ccfg_m):
-        state = particle.init(ccfg_m, pcfg, traj[0], key=jax.random.PRNGKey(2))
-
         @jax.jit
         def replay(state, radii, valids):
             def body(st, inp):
@@ -738,18 +743,28 @@ def bench_particle(radii, valids, angles, traj, n_scans, bootstrap,
                 return st, st.pose
             return jax.lax.scan(body, state, (radii, valids))
 
-        stf, poses = replay(state, radii, valids)
-        jax.block_until_ready(stf)
+        # Monte-Carlo pipeline: a single sample path is fragile (measured
+        # seed spread 0.107-0.29 on the grid mode, docs/PERF.md round 5),
+        # so accuracy is the MEDIAN over 3 PRNG seeds; throughput is the
+        # best replay time (one compile, shared across seeds).
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
+        ates, maxes = [], []
+        for i, seed in enumerate((2, 5, 9)):
+            state = particle.init(ccfg_m, pcfg, traj[0],
+                                  key=jax.random.PRNGKey(seed))
             stf, poses = replay(state, radii, valids)
             jax.block_until_ready(stf)
-            best = min(best, time.time() - t0)
-        err = np.asarray(poses) - traj[: n_scans + bootstrap]
-        pe = np.linalg.norm(err[:, :2], axis=1)
+            if i == 0:          # timing rep on the warmed program
+                t0 = time.time()
+                stf, poses = replay(state, radii, valids)
+                jax.block_until_ready(stf)
+                best = time.time() - t0
+            err = np.asarray(poses) - traj[: n_scans + bootstrap]
+            pe = np.linalg.norm(err[:, :2], axis=1)
+            ates.append(float(np.sqrt((pe ** 2).mean())))
+            maxes.append(float(pe.max()))
         return ((n_scans + bootstrap) / best,
-                float(np.sqrt((pe ** 2).mean())), float(pe.max()))
+                float(np.median(ates)), float(np.median(maxes)))
 
     # modes: "exact" is the BASELINE config-4 contract ([P, N] gather batch +
     # top-k refine); "sub4" strides beams 4x coarse-to-fine; "grid" scores the

@@ -330,6 +330,11 @@ def serving_hector_config(**overrides) -> "HectorConfig":
       worst-case excursions (max 3.97 -> 1.78 m) at NO median-instance cost
       (0.0051 -> 0.0049) — the round-4 capacity ablation's conclusion,
       encoded as the default it recommended (VERDICT r04 item 6);
+    - ``dense_free_fill=True``: with the one-hot fill lookup + wall-erosion
+      margin (round 5) the dense fill is 2.3x fleet throughput (4484 ->
+      10423 inst-scans/s at B=64 T=256) at 5x BETTER max error (0.119 ->
+      0.024 m; median 0.0033 -> 0.0041) — the round-2 "line mode in fleet"
+      advice predates both fixes;
     - update capacity UNCAPPED (the HectorConfig default): budget deferral
       compounds map-staleness error ~20x on the median instance for ~25%
       throughput.
@@ -340,7 +345,7 @@ def serving_hector_config(**overrides) -> "HectorConfig":
     base = HectorConfig(num_levels=3, estimate_iterations=(7, 4, 4),
                         match_subsample=4, matcher_mode="onehot_bf16",
                         xy_step_clamp_px=10.0, max_match_jump=1.0,
-                        gn_damping=0.1)
+                        gn_damping=0.1, dense_free_fill=True)
     return dataclasses.replace(base, **overrides) if overrides else base
 
 

@@ -92,12 +92,21 @@ def _onehot_lookup(table: jnp.ndarray, idx: jnp.ndarray,
     matmul instead of a gather: XLA's TPU gather runs ~130M indices/s (the
     dense fills' dominant cost, docs/PERF.md), while materializing the
     [cells, n_bins] one-hot and contracting it on the MXU is plain
-    bandwidth/matmul work.  Exact: one-hot rows are {0,1} and each row selects
-    exactly one f32 table entry."""
+    bandwidth/matmul work.
+
+    One-hot rows are {0,1} (exact in bf16), and the table rides as a manual
+    bf16x2 split — hi = bf16(table), lo = table - hi — so the
+    default-precision MXU's operand rounding cannot shift the selected value
+    by more than ~2^-9 of the LO term (~0.002 px at lidar ranges; a plain
+    bf16 table operand was off by up to ~1 px, enough to eat
+    ops/logodds.update_occupancy_dense's wall-erosion margin)."""
     oh = (idx[..., None] == jnp.arange(n_bins, dtype=idx.dtype)).astype(
-        jnp.float32)
-    return jnp.dot(oh.reshape(-1, n_bins), table,
-                   preferred_element_type=jnp.float32).reshape(idx.shape)
+        jnp.bfloat16)
+    t_hi = table.astype(jnp.bfloat16).astype(jnp.float32)
+    t2 = jnp.stack([t_hi, table - t_hi], axis=1).astype(jnp.bfloat16)
+    sel = jnp.dot(oh.reshape(-1, n_bins), t2,
+                  preferred_element_type=jnp.float32)      # [cells, 2]
+    return (sel[:, 0] + sel[:, 1]).reshape(idx.shape)
 
 
 def update_hole_map_dense(hole_map_flat: jnp.ndarray, size: int, scale: float,

@@ -153,23 +153,14 @@ def update_occupancy_dense(logodds_flat: jnp.ndarray, width: int,
     cbin = jnp.clip(((cang + jnp.pi) * (angle_bins / (2.0 * jnp.pi)))
                     .astype(jnp.int32), 0, angle_bins - 1)
     if jax.default_backend() == "tpu":
-        # table[cbin] as a one-hot MXU matmul: XLA's TPU gather serializes
-        # per element (~1.6 ms for a 400-px level at ~130M elem/s); a
-        # [cells, bins] one-hot contraction is plain bandwidth/matmul work
-        # (round-5 ladder: gather 1818 -> select-sweep 968 -> one-hot 344 us
-        # per 400x400 update, docs/PERF.md).  The default-precision MXU
-        # rounds the table operand to bf16 (up to ~1 px at 40 m ranges —
-        # would eat the free margin), so the table rides as a manual bf16x2
-        # split: hi = bf16(table), lo = table - hi (|lo| <~ 1 px, its own
-        # bf16 error <~ 0.002 px — far below any geometric tolerance here).
-        oh = (cbin.reshape(-1)[:, None]
-              == jnp.arange(angle_bins, dtype=cbin.dtype)).astype(
-            jnp.bfloat16)
-        t_hi = table.astype(jnp.bfloat16).astype(jnp.float32)
-        t2 = jnp.stack([t_hi, table - t_hi], axis=1)      # [bins, 2]
-        sel = jnp.dot(oh, t2.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)  # [cells, 2]
-        r_lim = (sel[:, 0] + sel[:, 1]).reshape(width, width)
+        # table[cbin] as a one-hot MXU matmul with the bf16x2-split table
+        # (ops/holemap._onehot_lookup): XLA's TPU gather serializes per
+        # element (~1.6 ms for a 400-px level at ~130M elem/s); the one-hot
+        # contraction is plain bandwidth/matmul work.  Round-5 ladder:
+        # gather 1818 -> select-sweep 968 -> one-hot 346 us per 400x400
+        # update (docs/PERF.md); headline 4941 -> 6343 scans/s.
+        from .holemap import _onehot_lookup
+        r_lim = _onehot_lookup(table, cbin, angle_bins)
     else:
         r_lim = jnp.take(table, cbin)       # CPU: gather is the fast path
     is_free_img = (r_cell < r_lim - free_margin_px) & (r_cell > 0.0)
