@@ -49,8 +49,10 @@ def _row_pad(w: int) -> int:
 
 
 def prepare_tables(table: jnp.ndarray, cfg):
-    """XLA prolog, once per match: per-level bf16 row tables + y+1-shifted
-    twins, row-padded to the bf16 sublane tile.  ~1.5 MB of copies."""
+    """XLA prolog, once per match: per-level bf16 row tables with the
+    y+1-shifted twin CONCATENATED on lanes ([wp_l, 2*lanes_l]), row-padded
+    to the bf16 sublane tile — one matmul per GN iteration fetches both the
+    yi and yi+1 rows (round 5; was two matmuls).  ~1.5 MB of copies."""
     outs = []
     for level in range(cfg.num_levels):
         w = cfg.level_sizes[level]
@@ -59,12 +61,12 @@ def prepare_tables(table: jnp.ndarray, cfg):
         g = table[off:off + w * w].reshape(w, w).astype(jnp.bfloat16)
         g = jnp.pad(g, ((0, _row_pad(w) - w), (0, lanes - w)))
         gs = jnp.pad(g[1:], ((0, 1), (0, 0)))      # row r -> table row r+1
-        outs += [g, gs]
+        outs.append(jnp.concatenate([g, gs], axis=1))
     return tuple(outs)
 
 
 def _match_kernel(cfg, n_pad, batched, *refs):
-    """Kernel body: refs = (t0, t0s, t1, t1s, ..., X, Y, V, pose0, out).
+    """Kernel body: refs = (t2_0, ..., t2_{L-1}, X, Y, V, pose0, out)\n    with t2_l = [wp_l, 2*lanes_l] (table | y+1-shifted twin on lanes).
 
     batched=False: pose_ref is a (1, 4) SMEM block, out_ref a (1, 128) VMEM
     block.  batched=True (fleet; grid over instances): pose_ref is the FULL
@@ -72,8 +74,8 @@ def _match_kernel(cfg, n_pad, batched, *refs):
     (Mosaic requires the last two block dims be (8k, 128k) or the array
     dims, so per-instance rows are padded to one sublane tile)."""
     nl = cfg.num_levels
-    tabs = refs[:2 * nl]
-    X_ref, Y_ref, V_ref, pose_ref, out_ref = refs[2 * nl:]
+    tabs = refs[:nl]
+    X_ref, Y_ref, V_ref, pose_ref, out_ref = refs[nl:]
 
     X = X_ref[:]                       # [N, 1] f32, beams on sublanes
     Y = Y_ref[:]
@@ -93,8 +95,7 @@ def _match_kernel(cfg, n_pad, batched, *refs):
         wp = _row_pad(w)
         lanes = level_lanes(w)
         scale = 1.0 / cfg.level_resolutions[level]
-        t_ref = tabs[2 * level]
-        ts_ref = tabs[2 * level + 1]
+        t2_ref = tabs[level]            # [wp, 2*lanes]: table | y+1 twin
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, wp), 1)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, lanes), 1)
 
@@ -113,10 +114,10 @@ def _match_kernel(cfg, n_pad, batched, *refs):
             yi = jnp.clip(my.astype(jnp.int32), 0, w - 2)
 
             oh_y = (yi == row_iota).astype(jnp.bfloat16)     # [N, wp]
-            r0 = jnp.dot(oh_y, t_ref[:],                     # t[yi, :]
-                         preferred_element_type=jnp.float32)  # [N, lanes]
-            r1 = jnp.dot(oh_y, ts_ref[:],                    # t[yi+1, :]
-                         preferred_element_type=jnp.float32)
+            rr = jnp.dot(oh_y, t2_ref[:],         # t[yi, :] | t[yi+1, :]
+                         preferred_element_type=jnp.float32)  # [N, 2*lanes]
+            r0 = rr[:, :lanes]
+            r1 = rr[:, lanes:]
             oh_x0 = (xi == lane_iota).astype(jnp.float32)    # [N, lanes]
             oh_x1 = ((xi + 1) == lane_iota).astype(jnp.float32)
             v0 = jax.nn.sigmoid(jnp.sum(r0 * oh_x0, axis=1, keepdims=True))
@@ -225,7 +226,8 @@ def prepare_tables_batch(flat: jnp.ndarray, b: int, cfg):
         g = grids[:, off:off + w * w].reshape(b, w, w).astype(jnp.bfloat16)
         g = jnp.pad(g, ((0, 0), (0, wp - w), (0, lanes - w)))
         gs = jnp.pad(g[:, 1:], ((0, 0), (0, 1), (0, 0)))  # row r -> row r+1
-        outs += [g.reshape(b * wp, lanes), gs.reshape(b * wp, lanes)]
+        outs.append(jnp.concatenate([g, gs], axis=2).reshape(
+            b * wp, 2 * lanes))
     return tuple(outs)
 
 
@@ -255,10 +257,9 @@ def make_pallas_match_batch(cfg, n_pad: int, b: int, interpret: bool = False):
 
     in_specs = []
     for level in range(nl):
-        spec = pl.BlockSpec((_row_pad(cfg.level_sizes[level]),
-                             level_lanes(cfg.level_sizes[level])),
-                            lambda i: (i, 0))
-        in_specs += [spec, spec]
+        in_specs.append(pl.BlockSpec(
+            (_row_pad(cfg.level_sizes[level]),
+             2 * level_lanes(cfg.level_sizes[level])), lambda i: (i, 0)))
     in_specs += [pl.BlockSpec((n_pad, 1), lambda i: (i, 0))] * 3
     in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
 
@@ -298,8 +299,8 @@ def _match_kernel_packed(cfg, n_pad, g_pack, *refs):
     blocks hold G instances' padded rows contiguously ([G*wp_l, lanes_l]).
     """
     nl = cfg.num_levels
-    tabs = refs[:2 * nl]
-    X_ref, Y_ref, V_ref, pose_ref, out_ref = refs[2 * nl:]
+    tabs = refs[:nl]
+    X_ref, Y_ref, V_ref, pose_ref, out_ref = refs[nl:]
     G = g_pack
     gn = G * n_pad
 
@@ -337,8 +338,7 @@ def _match_kernel_packed(cfg, n_pad, g_pack, *refs):
         wp = _row_pad(w)
         lanes = level_lanes(w)
         scale = 1.0 / cfg.level_resolutions[level]
-        t_ref = tabs[2 * level]
-        ts_ref = tabs[2 * level + 1]
+        t2_ref = tabs[level]            # [G*wp, 2*lanes]
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, wp), 1)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (gn, lanes), 1)
 
@@ -361,16 +361,15 @@ def _match_kernel_packed(cfg, n_pad, g_pack, *refs):
             yi = jnp.clip(my.astype(jnp.int32), 0, w - 2)
 
             # per-instance one-hot row matmuls against static table slices
-            r0s, r1s = [], []
+            rrs = []
             for gi in range(G):
                 yi_g = yi[gi * n_pad:(gi + 1) * n_pad]
                 oh_g = (yi_g == row_iota).astype(jnp.bfloat16)   # [N, wp]
-                r0s.append(jnp.dot(oh_g, t_ref[gi * wp:(gi + 1) * wp, :],
+                rrs.append(jnp.dot(oh_g, t2_ref[gi * wp:(gi + 1) * wp, :],
                                    preferred_element_type=jnp.float32))
-                r1s.append(jnp.dot(oh_g, ts_ref[gi * wp:(gi + 1) * wp, :],
-                                   preferred_element_type=jnp.float32))
-            r0 = jnp.concatenate(r0s, axis=0)                    # [GN, lanes]
-            r1 = jnp.concatenate(r1s, axis=0)
+            rr = jnp.concatenate(rrs, axis=0)             # [GN, 2*lanes]
+            r0 = rr[:, :lanes]
+            r1 = rr[:, lanes:]
             oh_x0 = (xi == lane_iota).astype(jnp.float32)
             oh_x1 = ((xi + 1) == lane_iota).astype(jnp.float32)
             v0 = jax.nn.sigmoid(jnp.sum(r0 * oh_x0, axis=1, keepdims=True))
@@ -476,10 +475,9 @@ def make_pallas_match_packed(cfg, n_pad: int, b: int, g_pack: int = 4,
 
     in_specs = []
     for level in range(nl):
-        spec = pl.BlockSpec((g_pack * _row_pad(cfg.level_sizes[level]),
-                             level_lanes(cfg.level_sizes[level])),
-                            lambda i: (i, 0))
-        in_specs += [spec, spec]
+        in_specs.append(pl.BlockSpec(
+            (g_pack * _row_pad(cfg.level_sizes[level]),
+             2 * level_lanes(cfg.level_sizes[level])), lambda i: (i, 0)))
     in_specs += [pl.BlockSpec((g_pack * n_pad, 1), lambda i: (i, 0))] * 3
     in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
     n_prog = b // g_pack
@@ -510,7 +508,7 @@ def make_pallas_match(cfg, n_pad: int, interpret: bool = False):
     nl = cfg.num_levels
     kernel = functools.partial(_match_kernel, cfg, n_pad, False)
 
-    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * nl)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * nl
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
                 + [pl.BlockSpec((1, 4), memory_space=pltpu.SMEM)])
 
