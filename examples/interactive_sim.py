@@ -25,12 +25,17 @@ def main() -> None:
                     help="run on the default (TPU) platform instead of CPU")
     ap.add_argument("--no-coreslam", action="store_true",
                     help="run HectorSLAM only")
+    ap.add_argument("--world", choices=["default", "office"],
+                    default="default",
+                    help="'office' loads the multi-room loop-closure "
+                         "benchmark world (sim/field.office_field)")
     args = ap.parse_args()
 
     from slamnet_tpu.io.interactive import InteractiveSession, serve
 
     session = InteractiveSession(platform="default" if args.tpu else "cpu",
-                                 run_coreslam=not args.no_coreslam)
+                                 run_coreslam=not args.no_coreslam,
+                                 world=args.world)
     srv = serve(session, port=args.port)
     print(f"interactive sim at http://localhost:{args.port} "
           f"(left-drag: move, right-drag: aim, wheel: zoom)")

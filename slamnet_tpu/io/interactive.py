@@ -43,7 +43,7 @@ class InteractiveSession:
     """
 
     def __init__(self, platform: str = "cpu", run_coreslam: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, world: str = "default"):
         import os
         if platform == "cpu":
             os.environ["JAX_PLATFORMS"] = "cpu"
@@ -63,7 +63,13 @@ class InteractiveSession:
         self.sim = SimConfig()
         self.hcfg = HectorConfig()
         self.ccfg = CoreSlamConfig() if run_coreslam else None
-        self.field = default_field(self.sim.field_scale, self.sim.field_offset)
+        if world == "office":
+            # the multi-room loop-closure benchmark world (sim/field.py)
+            from ..sim.field import office_field
+            self.field = office_field()
+        else:
+            self.field = default_field(self.sim.field_scale,
+                                       self.sim.field_offset)
         self.angles = jnp.asarray(lidar.revolution_angles(self.sim.num_scan_points))
         self._lidar = lidar
         self._key = jax.random.PRNGKey(seed)
