@@ -9,9 +9,10 @@ table RESIDENT IN VMEM for the whole match:
 
   * beams live on SUBLANES ([N, 1] coords): every one-hot mask is then a
     plain broadcast compare against a lane iota — no transposes, no gathers;
-  * row selection is a native [N, w] x [w, lanes] matmul against the resident
-    table (and a pre-shifted copy for the y+1 row), lane selection an
-    elementwise mask-multiply + lane reduction;
+  * row selection is ONE native [N, wp] x [wp, 2*lanes] matmul per GN
+    iteration against the resident table with its y+1-shifted twin
+    concatenated on lanes (round 5; fetches both bilinear rows at once),
+    lane selection an elementwise mask-multiply + lane reduction;
   * the XLA path re-materializes the one-hot masks and selected planes
     through HBM every iteration (~6 MB/iteration); here they never leave
     VMEM, and the tables load once per match instead of once per iteration.
