@@ -96,6 +96,20 @@ def main():
               f"(incl. compile)", flush=True)
         return np.asarray(poses)
 
+    # ---- dense-fill lookup parity on-chip: the TPU branch (one-hot MXU
+    # matmul, bf16x2-split table) vs the exact gather, same device --------
+    from slamnet_tpu.ops.holemap import _onehot_lookup
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.uniform(0.0, 566.0, 256), jnp.float32)
+    cbin = jnp.asarray(rng.integers(0, 256, (400, 400)), jnp.int32)
+    lk = jax.jit(lambda t, c: _onehot_lookup(t, c, 256))(table, cbin)
+    gt = jax.jit(lambda t, c: jnp.take(t, c))(table, cbin)
+    dmax = float(jnp.abs(lk - gt).max())
+    print(f"fill-lookup parity: max |onehot - gather| = {dmax:.6f} px")
+    if dmax > 0.01:
+        print("PARITY FAILED (fill lookup)")
+        return 1
+
     p_ref = run("onehot_bf16")
     p_pal = run("pallas")
 

@@ -86,6 +86,10 @@ def update_hole_map(hole_map_flat: jnp.ndarray, size: int, scale: float,
     return jnp.where(robot_in, new, hole_map_flat)
 
 
+_LOOKUP_SHIFT = 1024.0      # admits table values in [-1024, 3072)
+_LOOKUP_K = 4096.0          # quantization: 1/4096 of a table unit
+
+
 def _onehot_lookup(table: jnp.ndarray, idx: jnp.ndarray,
                    n_bins: int) -> jnp.ndarray:
     """table[idx] for a SMALL table and a large index field, as a one-hot
@@ -94,19 +98,34 @@ def _onehot_lookup(table: jnp.ndarray, idx: jnp.ndarray,
     [cells, n_bins] one-hot and contracting it on the MXU is plain
     bandwidth/matmul work.
 
-    One-hot rows are {0,1} (exact in bf16), and the table rides as a manual
-    bf16x2 split — hi = bf16(table), lo = table - hi — so the
-    default-precision MXU's operand rounding cannot shift the selected value
-    by more than ~2^-9 of the LO term (~0.002 px at lidar ranges; a plain
-    bf16 table operand was off by up to ~1 px, enough to eat
-    ops/logodds.update_occupancy_dense's wall-erosion margin)."""
+    The table rides as THREE bf16-exact INTEGER bit-slices (8 bits each of
+    the shifted value quantized to 1/4096 of a unit) rather than a float
+    hi/lo split: a float residual ``table - bf16(table)`` is silently ZEROED
+    on TPU — XLA's bf16-propagation pass sees its only consumer is a bf16
+    convert, evaluates the subtraction in bf16, and bf16(x) - bf16(x) == 0
+    (caught on-chip by scripts/check_pallas_parity.py: the lo matmul column
+    came back identically zero; optimization_barrier does not stop that
+    pass).  Integer arithmetic is outside the pass's reach, every slice is
+    <= 255 (exact in bf16), and the f32 recombination is exact — total
+    error <= 2.5e-4 of a unit.
+
+    Domain: values in [-_LOOKUP_SHIFT, 3 * _LOOKUP_SHIFT); anything below
+    (e.g. the dense fills' -1e9 "uncovered sector" sentinel) clips to the
+    domain floor and reconstructs as -_LOOKUP_SHIFT — still far below any
+    geometric threshold, so sentinel semantics are preserved."""
     oh = (idx[..., None] == jnp.arange(n_bins, dtype=idx.dtype)).astype(
         jnp.bfloat16)
-    t_hi = table.astype(jnp.bfloat16).astype(jnp.float32)
-    t2 = jnp.stack([t_hi, table - t_hi], axis=1).astype(jnp.bfloat16)
-    sel = jnp.dot(oh.reshape(-1, n_bins), t2,
-                  preferred_element_type=jnp.float32)      # [cells, 2]
-    return (sel[:, 0] + sel[:, 1]).reshape(idx.shape)
+    q = jnp.clip((table + _LOOKUP_SHIFT) * _LOOKUP_K,
+                 0.0, 2.0 ** 24 - 1).astype(jnp.int32)
+    t3 = jnp.stack([(q >> 16).astype(jnp.float32),
+                    ((q >> 8) & 255).astype(jnp.float32),
+                    (q & 255).astype(jnp.float32)], axis=1)
+    sel = jnp.dot(oh.reshape(-1, n_bins), t3.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)      # [cells, 3]
+    out = (sel[:, 0] * (65536.0 / _LOOKUP_K)
+           + sel[:, 1] * (256.0 / _LOOKUP_K)
+           + sel[:, 2] * (1.0 / _LOOKUP_K) - _LOOKUP_SHIFT)
+    return out.reshape(idx.shape)
 
 
 def update_hole_map_dense(hole_map_flat: jnp.ndarray, size: int, scale: float,
